@@ -1,0 +1,64 @@
+"""Minimal Go-``net/url``-compatible URI handling for ``id`` / ``$ref``.
+
+The reference resolves refs with ``url.Parse`` / ``URL.ResolveReference``
+(resolve.go:49-54, document.go:16-23).  We wrap :mod:`urllib.parse` but add
+the strictness the compile-error tests rely on: ``url.Parse(":")`` fails in Go
+with "missing protocol scheme" (jsonschema_test.go:169-174), while urllib
+accepts it silently.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import unquote, urldefrag, urljoin, urlsplit
+
+__all__ = ["URLError", "parse_url", "resolve_url", "strip_fragment", "fragment_of"]
+
+
+class URLError(ValueError):
+    pass
+
+
+def _check(ref: str) -> None:
+    for ch in ref:
+        o = ord(ch)
+        if o < 0x20 or o == 0x7F:
+            raise URLError(f"net/url: invalid control character in URL")
+    # Scheme validation: text before the first ':' that precedes any
+    # '/', '?' or '#' must be a non-empty ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ).
+    for i, ch in enumerate(ref):
+        if ch in "/?#":
+            break
+        if ch == ":":
+            scheme = ref[:i]
+            if not scheme:
+                raise URLError(f"parse {ref!r}: missing protocol scheme")
+            if not scheme[0].isalpha() or not all(
+                c.isalnum() or c in "+-." for c in scheme
+            ):
+                # Go treats e.g. "1http://x" as an opaque path, not an error;
+                # only an *empty* scheme is fatal.  Keep parity: no error.
+                pass
+            break
+
+
+def parse_url(ref: str) -> str:
+    """Validate ``ref`` like Go ``url.Parse`` and return it normalized."""
+    _check(ref)
+    return ref
+
+
+def resolve_url(base: str | None, ref: str) -> str:
+    """``base.Parse(ref)`` / ``ResolveReference`` semantics (RFC 3986)."""
+    _check(ref)
+    if not base:
+        return ref
+    return urljoin(base, ref)
+
+
+def strip_fragment(u: str) -> str:
+    return urldefrag(u)[0]
+
+
+def fragment_of(u: str) -> str:
+    """Percent-decoded fragment, like Go ``URL.Fragment``."""
+    return unquote(urlsplit(u).fragment)
