@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in jsonschema_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one.  The transcript tables (BASELINE.json input_hint) are
+generated deterministically under /tmp — both the Ray pipeline and the
+oracle SQL read the same parquet bytes.
 """
 
 from __future__ import annotations
@@ -18,27 +15,60 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: full transcript validation →
+    violation rows sorted by (conv_id, turn_idx)."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+    from jsonschema_ray.sources.transcripts import transcripts_path
+
+    path = transcripts_path(SF001)
+    return transcript_violations(rd.read_parquet(path))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from jsonschema_ray.pipelines import queries as q
+    from jsonschema_ray.sources.transcripts import transcripts_path
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # Ensure the sf0.01 transcripts exist before the driver runs any oracle
+    # SQL (the oracle reads the same /tmp parquet files).
+    transcripts_path(SF01)
+
+    return {
+        "q_row_violations": q.q_row_violations,
+        "q_referential": q.q_referential,
+        "q_duplicate_keys": q.q_duplicate_keys,
+        "q_contiguity": q.q_contiguity,
+        "q_ts_order": q.q_ts_order,
+        "q_violation_summary": q.q_violation_summary,
+        "q_payload_violations": q.q_payload_violations,
+        "q_lineitem_pricing": q.q_lineitem_pricing,
+        "q_segment_revenue": q.q_segment_revenue,
+        "q_distinct_exact": q.q_distinct_exact,
+        "q_stats_minmax": q.q_stats_minmax,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jsonschema_ray.pipelines import queries as q
+    from jsonschema_ray.sources.transcripts import transcripts_path
+
+    path = transcripts_path(SF01)
+    return {
+        "q_row_violations": q.row_violations_sql(path),
+        "q_referential": q.referential_sql(path),
+        "q_duplicate_keys": q.duplicate_keys_sql(path),
+        "q_contiguity": q.contiguity_sql(path),
+        "q_ts_order": q.ts_order_sql(path),
+        "q_violation_summary": q.violation_summary_sql(path),
+        "q_payload_violations": q.PAYLOAD_SQL,
+        "q_lineitem_pricing": q.LINEITEM_PRICING_SQL,
+        "q_segment_revenue": q.SEGMENT_REVENUE_SQL,
+        "q_distinct_exact": q.distinct_exact_sql(path),
+        "q_stats_minmax": q.stats_minmax_sql(path),
+    }

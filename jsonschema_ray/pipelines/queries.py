@@ -1,0 +1,437 @@
+"""Driver-facing query implementations + their ANSI-SQL oracles.
+
+Every operator from SURVEY.md §2 that is SQL-expressible gets a pair
+(`q_*` Ray implementation, oracle SQL string) — the driver runs both at
+sf0.01 and compares row-count + schema + order-insensitive value hash.
+Column names/types are kept identical on both sides; floats are rounded
+to fixed decimals on both sides before comparison.
+
+The transcripts tables aren't part of the driver's sf dirs; they're
+generated deterministically (seed 42) under /tmp keyed by the sf dir name,
+and the oracle SQL reads the *same parquet files* via read_parquet().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.transcripts import TOOLS, TRANSCRIPT_SCHEMA_JSON, transcripts_path
+from ..stages.checks import (
+    contiguity_violations,
+    duplicate_key_violations,
+    referential_violations,
+    ts_order_violations,
+)
+from ..stages.validate import PayloadValidator, VectorValidator
+
+# ---------------------------------------------------------------------------
+# transcripts: row-level violations (fail-fast parity) --------------------
+
+
+def _ds(path_or_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(path_or_dir)
+
+
+def q_row_violations(sf_dir: str):
+    """First-violation-per-row over the planted transcripts (hot path)."""
+    from .validate_pipeline import TRANSCRIPT_ARROW_SCHEMA
+
+    path = transcripts_path(sf_dir)
+    ds = _ds(path)
+    return ds.map_batches(
+        VectorValidator,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(
+            schema_json=TRANSCRIPT_SCHEMA_JSON,
+            arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
+            mode="first",
+        ),
+    )
+
+
+def row_violations_sql(path: str) -> str:
+    """The fail-fast CASE chain in the reference's evaluation order
+    (validate.go:29-77,452-515): per-column property checks in arrow column
+    order, then required."""
+    tools = ", ".join(f"'{t}'" for t in TOOLS)
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+v AS (
+  SELECT conv_id, turn_idx,
+    CASE
+      WHEN conv_id IS NOT NULL AND NOT regexp_matches(conv_id, '^conv-[0-9]{{8}}$') THEN 'pattern'
+      WHEN turn_idx IS NOT NULL AND turn_idx < 0 THEN 'minimum'
+      WHEN turn_idx IS NOT NULL AND turn_idx > 100000000 THEN 'maximum'
+      WHEN role IS NOT NULL AND role NOT IN ('system','user','assistant','tool') THEN 'enum'
+      WHEN text IS NOT NULL AND length(text) < 1 THEN 'minLength'
+      WHEN text IS NOT NULL AND length(text) > 2000 THEN 'maxLength'
+      WHEN tool IS NOT NULL AND tool NOT IN ({tools}) THEN 'enum'
+      WHEN conv_id IS NULL THEN 'required'
+      WHEN turn_idx IS NULL THEN 'required'
+      WHEN role IS NULL THEN 'required'
+      WHEN text IS NULL THEN 'required'
+      WHEN ts IS NULL THEN 'required'
+    END AS keyword,
+    CASE
+      WHEN conv_id IS NOT NULL AND NOT regexp_matches(conv_id, '^conv-[0-9]{{8}}$')
+        THEN 'object: "conv_id": string: does not match pattern ^conv-[0-9]{{8}}$'
+      WHEN turn_idx IS NOT NULL AND turn_idx < 0
+        THEN 'object: "turn_idx": number: value ' || turn_idx || '/1 is smaller than 0/1'
+      WHEN turn_idx IS NOT NULL AND turn_idx > 100000000
+        THEN 'object: "turn_idx": number: value ' || turn_idx || '/1 is bigger than 100000000/1'
+      WHEN role IS NOT NULL AND role NOT IN ('system','user','assistant','tool')
+        THEN 'object: "role": enum: "\\"' || role || '\\"" is not present in enum'
+      WHEN text IS NOT NULL AND length(text) < 1
+        THEN 'object: "text": string: length is smaller than 1'
+      WHEN text IS NOT NULL AND length(text) > 2000
+        THEN 'object: "text": string: length is bigger than 2000'
+      WHEN tool IS NOT NULL AND tool NOT IN ({tools})
+        THEN 'object: "tool": enum: "\\"' || tool || '\\"" is not present in enum'
+      WHEN conv_id IS NULL THEN 'object: required property "conv_id" is missing'
+      WHEN turn_idx IS NULL THEN 'object: required property "turn_idx" is missing'
+      WHEN role IS NULL THEN 'object: required property "role" is missing'
+      WHEN text IS NULL THEN 'object: required property "text" is missing'
+      WHEN ts IS NULL THEN 'object: required property "ts" is missing'
+    END AS message
+  FROM t)
+SELECT conv_id, turn_idx, keyword, message FROM v WHERE keyword IS NOT NULL
+"""
+
+
+def q_referential(sf_dir: str):
+    return referential_violations(_ds(transcripts_path(sf_dir)))
+
+
+def referential_sql(path: str) -> str:
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}/*.parquet'))
+SELECT conv_id, turn_idx, 'referential' AS keyword,
+       'tool must be set when role is "tool"' AS message
+FROM t WHERE role = 'tool' AND tool IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, 'referential',
+       'tool must be null when role is ' ||
+       CASE WHEN role IS NULL THEN 'null' ELSE '"' || role || '"' END
+FROM t WHERE (role IS NULL OR role <> 'tool') AND tool IS NOT NULL
+"""
+
+
+def q_duplicate_keys(sf_dir: str):
+    return duplicate_key_violations(_ds(transcripts_path(sf_dir)))
+
+
+def duplicate_keys_sql(path: str) -> str:
+    return f"""
+SELECT conv_id, turn_idx, 'uniqueItems' AS keyword,
+       '(conv_id, turn_idx) appears ' || COUNT(*) || ' times' AS message
+FROM read_parquet('{path}/*.parquet')
+GROUP BY conv_id, turn_idx HAVING COUNT(*) > 1
+"""
+
+
+def q_contiguity(sf_dir: str):
+    return contiguity_violations(_ds(transcripts_path(sf_dir)))
+
+
+def contiguity_sql(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT conv_id, turn_idx,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{path}/*.parquet'))
+SELECT conv_id, turn_idx, 'contiguity' AS keyword,
+  CASE WHEN rn = 1
+       THEN 'turn_idx ' || turn_idx || ' at conversation start: expected 0'
+       ELSE 'turn_idx ' || turn_idx || ' does not follow ' || prev END AS message
+FROM s
+WHERE (rn = 1 AND turn_idx <> 0)
+   OR (rn > 1 AND turn_idx <> prev + 1 AND turn_idx <> prev)
+"""
+
+
+def q_ts_order(sf_dir: str):
+    return ts_order_violations(_ds(transcripts_path(sf_dir)))
+
+
+def ts_order_sql(path: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT conv_id, turn_idx, ts,
+         MAX(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM read_parquet('{path}/*.parquet'))
+SELECT conv_id, turn_idx, 'order' AS keyword,
+       'ts decreases within conversation' AS message
+FROM s WHERE ts < prev_max
+"""
+
+
+def q_violation_summary(sf_dir: str):
+    """Flagship rollup: all checks → count per keyword."""
+    from .validate_pipeline import transcript_violations
+
+    ds = _ds(transcripts_path(sf_dir))
+    viol = transcript_violations(ds)
+    out = viol.groupby("keyword").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["keyword", "n"]), batch_format="pyarrow"
+    ).sort("keyword")
+
+
+def violation_summary_sql(path: str) -> str:
+    parts = [
+        row_violations_sql(path),
+        referential_sql(path),
+        duplicate_keys_sql(path),
+        contiguity_sql(path),
+        ts_order_sql(path),
+    ]
+    union = "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+    return f"SELECT keyword, CAST(COUNT(*) AS BIGINT) AS n FROM ({union}) GROUP BY keyword ORDER BY keyword"
+
+
+# ---------------------------------------------------------------------------
+# events: distributed raw-JSON payload validation --------------------------
+
+EVENT_PROPS_SCHEMA = """
+{
+  "type": "object",
+  "required": ["k"],
+  "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}}
+}
+"""
+
+
+def q_payload_violations(sf_dir: str):
+    """Validate the ``props`` JSON column of events per row — the direct
+    distributed analogue of the reference's Schema.Validate(data)
+    (validate.go:15-21)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return ds.map_batches(
+        PayloadValidator,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(
+            schema_json=EVENT_PROPS_SCHEMA,
+            payload_col="props",
+            id_cols=("event_id",),
+        ),
+    )
+
+
+PAYLOAD_SQL = """
+SELECT event_id,
+  CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 'maximum' END AS keyword,
+  'object: "k": number: value ' || (props->>'k') || '/1 is bigger than 50/1' AS message
+FROM events
+WHERE CAST(props->>'k' AS BIGINT) > 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# classic relational ops (general engine capability) ------------------------
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with in-batch partials."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="sum_rev"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n"),
+        )
+    )
+
+    def round_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.round(t["sum_qty"], 2),
+                "sum_rev": pc.round(t["sum_rev"], 2),
+                "avg_disc": pc.round(t["avg_disc"], 4),
+                "n": t["n"],
+            }
+        )
+
+    return out.map_batches(round_cols, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+LINEITEM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast join: tiny customer dim shipped once via ray.put, looked
+    up per batch — no shuffle (SURVEY.md §2.6 joins/lookups)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class SegmentJoin:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = pd.Series(t["o_custkey"].to_numpy()).map(self.lookup)
+            return t.append_column(
+                "c_mktsegment", pa.array(seg.astype(object), pa.string())
+            )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    out = (
+        ds.map_batches(
+            SegmentJoin,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_kwargs=dict(ref=lookup_ref),
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+    )
+    return (
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    "c_mktsegment": t["c_mktsegment"],
+                    "revenue": pc.round(t["revenue"], 2),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("c_mktsegment")
+    )
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_distinct_exact(sf_dir: str):
+    """Exact distinct counts via hash-partitioned groupby (the exact
+    counterpart of the HLL sketch)."""
+    import ray.data as rd
+
+    path = transcripts_path(sf_dir)
+    ds = rd.read_parquet(path)
+    rows = []
+    for col in ("conv_id", "role", "tool"):
+        n = ds.select_columns([col]).groupby(col).count().count()
+        has_null = False
+        # groupby treats NULL as its own group in Ray; count nulls separately
+        nn = ds.map_batches(
+            lambda t, c=col: pa.table(
+                {"n": pa.array([t[c].null_count], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        if nn > 0:
+            has_null = True
+        rows.append(
+            {"column_name": col, "n_distinct": int(n) - (1 if has_null else 0)}
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def distinct_exact_sql(path: str) -> str:
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}/*.parquet'))
+SELECT 'conv_id' AS column_name, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_distinct FROM t
+UNION ALL
+SELECT 'role', CAST(COUNT(DISTINCT role) AS BIGINT) FROM t
+UNION ALL
+SELECT 'tool', CAST(COUNT(DISTINCT tool) AS BIGINT) FROM t
+"""
+
+
+def q_stats_minmax(sf_dir: str):
+    """Null/min/max per column from the mergeable profile partials."""
+    import ray.data as rd
+
+    from ..stages.stats import profile_dataset
+
+    path = transcripts_path(sf_dir)
+    prof = profile_dataset(rd.read_parquet(path), columns=["turn_idx", "text"])
+    rows = [
+        {
+            "column_name": "turn_idx",
+            "n": prof["turn_idx"]["count"],
+            "nulls": prof["turn_idx"]["nulls"],
+            "min_v": int(prof["turn_idx"]["min"]),
+            "max_v": int(prof["turn_idx"]["max"]),
+        },
+        {
+            "column_name": "text",
+            "n": prof["text"]["count"],
+            "nulls": prof["text"]["nulls"],
+            "min_v": None,
+            "max_v": None,
+        },
+    ]
+    return pa.Table.from_pylist(rows)
+
+
+def stats_minmax_sql(path: str) -> str:
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}/*.parquet'))
+SELECT 'turn_idx' AS column_name, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(turn_idx) AS BIGINT) AS nulls,
+       CAST(MIN(turn_idx) AS BIGINT) AS min_v, CAST(MAX(turn_idx) AS BIGINT) AS max_v
+FROM t
+UNION ALL
+SELECT 'text', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(text) AS BIGINT), NULL, NULL
+FROM t
+"""

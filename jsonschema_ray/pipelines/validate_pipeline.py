@@ -1,0 +1,108 @@
+"""The flagship pipeline: transcript table → violation rows + profile.
+
+Shape (SURVEY.md §3.4):
+
+    read_parquet (column-pruned)
+      ├─ map_batches(VectorValidator, actor pool, zero-copy Arrow)  → row violations
+      ├─ map_batches(referential)                                    → referential violations
+      ├─ select(keys) → groupby(conv_id,turn_idx).count()            → duplicate keys
+      ├─ select(conv cols) → groupby(conv_id).map_groups             → contiguity / ts order
+      └─ map_batches(ColumnProfiler) → tree merge                    → profile
+    union of violation streams → sort(conv_id, turn_idx) → write_parquet
+
+Everything streams; only the final profile partials and small violation
+aggregates are materialized on the driver.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..sources.transcripts import TRANSCRIPT_SCHEMA_JSON
+from ..stages.checks import (
+    contiguity_violations,
+    duplicate_key_violations,
+    referential_violations,
+    ts_order_violations,
+)
+from ..stages.validate import VectorValidator
+
+__all__ = ["transcript_violations", "validate_transcripts"]
+
+TRANSCRIPT_ARROW_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+ALL_CHECKS = ("rows", "referential", "unique", "contiguity", "order")
+
+
+def transcript_violations(
+    ds,
+    schema_json: str = TRANSCRIPT_SCHEMA_JSON,
+    checks=ALL_CHECKS,
+    mode: str = "first",
+    concurrency: int | None = None,
+    batch_size: int = 65536,
+):
+    """→ Dataset of violation rows, sorted by (conv_id, turn_idx)."""
+    parts = []
+    if "rows" in checks:
+        kwargs = dict(
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            # Actor pool: plan compiled once per actor in __init__.
+            concurrency=concurrency if concurrency is not None else (1, 8),
+            fn_constructor_kwargs=dict(
+                schema_json=schema_json,
+                arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
+                mode=mode,
+            ),
+        )
+        parts.append(ds.map_batches(VectorValidator, **kwargs))
+    if "referential" in checks:
+        parts.append(referential_violations(ds))
+    if "unique" in checks:
+        parts.append(duplicate_key_violations(ds))
+    if "contiguity" in checks:
+        parts.append(contiguity_violations(ds))
+    if "order" in checks:
+        parts.append(ts_order_violations(ds))
+    out = parts[0]
+    if len(parts) > 1:
+        out = out.union(*parts[1:])
+    return out.sort(["conv_id", "turn_idx", "keyword"])
+
+
+def validate_transcripts(
+    input_path: str,
+    out_dir: str | None = None,
+    schema_json: str = TRANSCRIPT_SCHEMA_JSON,
+    checks=ALL_CHECKS,
+    mode: str = "first",
+    profile: bool = False,
+    concurrency: int | None = None,
+):
+    """Read → validate → (optionally) write + profile.  Returns a dict."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_path)
+    violations = transcript_violations(
+        ds, schema_json=schema_json, checks=checks, mode=mode, concurrency=concurrency
+    )
+    result = {"violations": violations}
+    if profile:
+        from ..stages.stats import profile_dataset
+
+        result["profile"] = profile_dataset(rd.read_parquet(input_path))
+    if out_dir is not None:
+        violations.write_parquet(out_dir)
+        result["out_dir"] = out_dir
+    return result

@@ -1,0 +1,164 @@
+"""Distribution-drift checks: two-sample KS and chi-square vs a baseline.
+
+Per the north star: a baseline *profile* of a reference (clean) table is
+built once and held in actor/driver state; candidate tables are tested
+against it:
+
+* **chi-square** over categorical columns (role, tool) — exact category
+  counts from mergeable per-batch partials;
+* **Kolmogorov–Smirnov** over integer-valued numeric features (text length
+  in codepoints, turn_idx) — per-value exact histograms make the two-sample
+  KS statistic *exact*, not approximated, while still being an associative
+  partial merge (no shuffle; SURVEY.md §2.5).
+
+Statistics are classical public formulas (e.g. NIST handbook): KS D =
+sup|F1-F2|; chi-square X² = Σ (O-E)²/E with E scaled to the candidate's
+total.  Violation rows use keyword ``drift`` (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "drift_profile",
+    "drift_compare",
+    "drift_violations",
+    "DEFAULT_DRIFT_FEATURES",
+]
+
+DEFAULT_DRIFT_FEATURES = {
+    "categorical": ["role", "tool"],
+    "numeric": ["text_len", "turn_idx"],
+}
+
+
+def _feature_arrays(batch: pa.Table, features) -> dict[str, np.ndarray]:
+    out = {}
+    for col in features["categorical"]:
+        vals = batch[col].fill_null("∅null").to_pylist()
+        out[col] = vals
+    for col in features["numeric"]:
+        if col == "text_len":
+            arr = pc.utf8_length(batch["text"]).drop_null().to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            arr = batch[col].drop_null().to_numpy(zero_copy_only=False)
+        out[col] = arr.astype(np.int64)
+    return out
+
+
+class _DriftPartial:
+    """map_batches callable emitting mergeable count partials."""
+
+    def __init__(self, features=None) -> None:
+        self.features = features or DEFAULT_DRIFT_FEATURES
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arrays = _feature_arrays(batch, self.features)
+        partial: dict = {}
+        for col in self.features["categorical"]:
+            vals, counts = np.unique(np.asarray(arrays[col], dtype=object), return_counts=True)
+            partial[col] = dict(zip(vals.tolist(), counts.tolist()))
+        for col in self.features["numeric"]:
+            vals, counts = np.unique(arrays[col], return_counts=True)
+            partial[col] = dict(zip(vals.tolist(), counts.tolist()))
+        return pa.table({"partial": pa.array([pickle.dumps(partial)], pa.binary())})
+
+
+def _merge_counts(parts: list[dict]) -> dict:
+    acc: dict = {}
+    for p in parts:
+        for col, counts in p.items():
+            dst = acc.setdefault(col, {})
+            for k, v in counts.items():
+                dst[k] = dst.get(k, 0) + v
+    return acc
+
+
+def drift_profile(ds, features=None) -> dict:
+    """Exact per-feature count profile of a Dataset (the drift baseline)."""
+    features = features or DEFAULT_DRIFT_FEATURES
+    partials = ds.map_batches(
+        _DriftPartial(features), batch_format="pyarrow"
+    ).take_all()
+    return _merge_counts([pickle.loads(r["partial"]) for r in partials])
+
+
+def _ks_stat(a: dict, b: dict) -> float:
+    keys = np.array(sorted(set(a) | set(b)), dtype=np.int64)
+    ca = np.array([a.get(int(k), 0) for k in keys], dtype=np.float64)
+    cb = np.array([b.get(int(k), 0) for k in keys], dtype=np.float64)
+    if ca.sum() == 0 or cb.sum() == 0:
+        return 0.0
+    fa = np.cumsum(ca) / ca.sum()
+    fb = np.cumsum(cb) / cb.sum()
+    return float(np.max(np.abs(fa - fb)))
+
+
+def _chi2_stat(baseline: dict, observed: dict) -> float:
+    n_obs = sum(observed.values())
+    n_base = sum(baseline.values())
+    if n_obs == 0 or n_base == 0:
+        return 0.0
+    stat = 0.0
+    for k in set(baseline) | set(observed):
+        e = baseline.get(k, 0) / n_base * n_obs
+        o = observed.get(k, 0)
+        if e == 0:
+            e = 0.5  # Yates-style floor for unseen categories
+        stat += (o - e) ** 2 / e
+    return float(stat)
+
+
+def drift_compare(baseline: dict, candidate: dict, features=None) -> dict:
+    """→ {column: {stat_name: value}} for every profiled feature."""
+    features = features or DEFAULT_DRIFT_FEATURES
+    out = {}
+    for col in features["categorical"]:
+        if col in baseline and col in candidate:
+            out[col] = {"chi2": round(_chi2_stat(baseline[col], candidate[col]), 6)}
+    for col in features["numeric"]:
+        if col in baseline and col in candidate:
+            out[col] = {"ks": round(_ks_stat(baseline[col], candidate[col]), 6)}
+    return out
+
+
+def drift_violations(
+    baseline: dict,
+    candidate: dict,
+    ks_threshold: float = 0.1,
+    chi2_threshold: float = 50.0,
+    features=None,
+) -> pa.Table:
+    """Violation rows (conv_id='', turn_idx=-1 → table-scoped) per drifted
+    feature; thresholds are engine policy, stats are exact."""
+    stats = drift_compare(baseline, candidate, features)
+    rows = []
+    for col, st in sorted(stats.items()):
+        if "ks" in st and st["ks"] > ks_threshold:
+            rows.append(
+                {
+                    "conv_id": "",
+                    "turn_idx": -1,
+                    "keyword": "drift",
+                    "message": f"{col}: KS statistic {st['ks']:.6f} exceeds {ks_threshold}",
+                }
+            )
+        if "chi2" in st and st["chi2"] > chi2_threshold:
+            rows.append(
+                {
+                    "conv_id": "",
+                    "turn_idx": -1,
+                    "keyword": "drift",
+                    "message": f"{col}: chi-square statistic {st['chi2']:.6f} exceeds {chi2_threshold}",
+                }
+            )
+    from .checks import VIOLATION_PA_SCHEMA
+
+    return pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA)

@@ -1,0 +1,168 @@
+"""Mergeable sketches: HyperLogLog distinct counts and t-digest quantiles.
+
+Implemented from the published algorithms (Flajolet et al. 2007 HyperLogLog;
+Dunning & Ertl, "Computing extremely accurate quantiles using t-digests",
+2019) with numpy-vectorized per-batch updates.  Both are associative
+partials: one sketch per batch inside ``map_batches``, merged in a small
+reduce stage — no shuffle (SURVEY.md §2.5).
+
+Hashing uses ``pandas.util.hash_array`` (deterministic 64-bit, vectorized,
+process-independent) so partials from different workers agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["HLL", "TDigest"]
+
+
+class HLL:
+    """HyperLogLog with 2**p registers (default p=12 → ~1.6% rel. error)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        idx = (hashes >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = hashes << np.uint64(self.p)
+        # rho = position of leftmost 1-bit in the remaining 64-p bits
+        nz = rest != 0
+        lead = np.full(len(hashes), 64 - self.p + 1, dtype=np.uint8)
+        if nz.any():
+            r = rest[nz]
+            # count leading zeros via bit_length: 64 - bit_length
+            bl = np.zeros(len(r), dtype=np.int64)
+            v = r.copy()
+            for shift in (32, 16, 8, 4, 2, 1):
+                step = v >> np.uint64(shift)
+                has = step != 0
+                bl[has] += shift
+                v[has] = step[has]
+            bl += 1  # bit_length
+            lead[nz] = (64 - bl + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, lead)
+
+    def update_values(self, values: np.ndarray) -> None:
+        import pandas as pd
+
+        self.update_hashes(pd.util.hash_array(np.asarray(values)))
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        return HLL(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = self.m
+        am = 0.7213 / (1 + 1.079 / m)
+        est = am * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting, small range
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HLL":
+        p = b[0]
+        return cls(p, np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+
+class TDigest:
+    """Merging t-digest (Dunning) with the k1 (arcsine) scale function."""
+
+    __slots__ = ("delta", "means", "weights")
+
+    def __init__(self, delta: int = 200, means=None, weights=None) -> None:
+        self.delta = delta
+        self.means = np.asarray(means if means is not None else [], dtype=np.float64)
+        self.weights = np.asarray(
+            weights if weights is not None else [], dtype=np.float64
+        )
+
+    def update(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return
+        w = (
+            np.ones(len(values))
+            if weights is None
+            else np.asarray(weights, dtype=np.float64)
+        )
+        self.means = np.concatenate([self.means, values])
+        self.weights = np.concatenate([self.weights, w])
+        if len(self.means) > 8 * self.delta:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.delta)
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out._compress()
+        return out
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return (self.delta / (2 * np.pi)) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def _compress(self) -> None:
+        if len(self.means) == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        new_means: list[float] = []
+        new_weights: list[float] = []
+        cur_m, cur_w = means[0], weights[0]
+        w_so_far = 0.0
+        for i in range(1, len(means)):
+            q0 = w_so_far / total
+            q1 = (w_so_far + cur_w + weights[i]) / total
+            if self._k(np.array([q1]))[0] - self._k(np.array([q0]))[0] <= 1.0:
+                cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
+                cur_w += weights[i]
+            else:
+                new_means.append(cur_m)
+                new_weights.append(cur_w)
+                w_so_far += cur_w
+                cur_m, cur_w = means[i], weights[i]
+        new_means.append(cur_m)
+        new_weights.append(cur_w)
+        self.means = np.asarray(new_means)
+        self.weights = np.asarray(new_weights)
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        total = self.weights.sum()
+        target = q * total
+        return float(np.interp(target, cum, self.means))
+
+    def to_arrays(self):
+        self._compress()
+        return self.means, self.weights
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        m, w = self.to_arrays()
+        return pickle.dumps((self.delta, m, w))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        import pickle
+
+        delta, m, w = pickle.loads(b)
+        return cls(delta, m, w)

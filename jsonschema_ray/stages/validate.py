@@ -1,0 +1,190 @@
+"""Row-level validation stages for ``map_batches``.
+
+Three callable classes, all designed as **actor pools**: compile work happens
+once per actor in ``__init__`` (the reference's one-time ``Parse``,
+jsonschema.go:6-16), per-batch work is vectorized (``__call__``).
+
+* :class:`VectorValidator` — the hot path: vectorized keyword kernels over
+  zero-copy Arrow batches (vector/plan.py).
+* :class:`SlowPathValidator` — exact row-as-JSON-object evaluation through
+  the core engine; used for differential testing and schemas the vectorized
+  layer can't express.
+* :class:`PayloadValidator` — validates a column of raw JSON documents
+  (e.g. ``events.props``) per row against a compiled schema — the direct
+  distributed analogue of the reference's ``Schema.Validate(data []byte)``
+  (validate.go:15-21).
+
+All emit violation rows; the id columns are configurable
+(``("conv_id", "turn_idx")`` for transcripts per FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core import parse
+from ..core.jsontypes import JNum
+from ..core.schema import Schema, ValidationError
+from ..vector.plan import VectorPlan, compile_plan
+
+__all__ = [
+    "VectorValidator",
+    "SlowPathValidator",
+    "PayloadValidator",
+    "violation_schema",
+    "row_to_tree",
+]
+
+
+def violation_schema(id_fields: list[tuple[str, pa.DataType]]) -> pa.Schema:
+    return pa.schema(
+        list(id_fields) + [("keyword", pa.string()), ("message", pa.string())]
+    )
+
+
+def _emit(batch: pa.Table, idx: np.ndarray, keywords, messages, id_cols) -> pa.Table:
+    cols = {}
+    take = pa.array(idx, type=pa.int64())
+    for c in id_cols:
+        cols[c] = batch[c].take(take)
+    cols["keyword"] = pa.array(keywords, type=pa.string())
+    cols["message"] = pa.array(messages, type=pa.string())
+    return pa.table(cols)
+
+
+class VectorValidator:
+    """Vectorized constraint evaluation; one compiled plan per actor."""
+
+    def __init__(
+        self,
+        schema_json: str,
+        arrow_schema: pa.Schema,
+        id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        mode: str = "first",
+    ) -> None:
+        self.plan: VectorPlan = compile_plan(parse(schema_json), arrow_schema)
+        self.id_cols = list(id_cols)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx, kws, msgs = self.plan.evaluate(batch, mode=self.mode)
+        return _emit(batch, idx, kws, msgs, self.id_cols)
+
+
+def row_to_tree(names, values, ts_cols, float_cols, row: int):
+    """Row → JSON tree with NULL fields dropped (the absent-key mapping)."""
+    obj = {}
+    for j, name in enumerate(names):
+        v = values[j][row]
+        if v is None:
+            continue
+        if j in ts_cols:
+            v = v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        elif j in float_cols:
+            v = JNum(repr(v))
+        elif isinstance(v, bool):
+            pass
+        elif isinstance(v, int):
+            v = JNum(str(v))
+        obj[name] = v
+    return obj
+
+
+class SlowPathValidator:
+    """Exact per-row evaluation of the row object through the core engine."""
+
+    def __init__(
+        self,
+        schema_json: str,
+        id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ) -> None:
+        self.schema: Schema = parse(schema_json)
+        self.id_cols = list(id_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        ts_cols = {
+            j
+            for j, f in enumerate(batch.schema)
+            if pa.types.is_timestamp(f.type) or pa.types.is_date(f.type)
+        }
+        float_cols = {
+            j for j, f in enumerate(batch.schema) if pa.types.is_floating(f.type)
+        }
+        values = [batch[c].to_pylist() for c in names]
+        idx, kws, msgs = [], [], []
+        for i in range(batch.num_rows):
+            tree = row_to_tree(names, values, ts_cols, float_cols, i)
+            try:
+                self.schema.validate(tree)
+            except ValidationError as e:
+                idx.append(i)
+                kws.append(_keyword_of(e.msg))
+                msgs.append(e.msg)
+        return _emit(batch, np.array(idx, dtype=np.int64), kws, msgs, self.id_cols)
+
+
+_KEYWORD_PATTERNS = [
+    ("is not present in enum", "enum"),
+    ("does not match pattern", "pattern"),
+    ("type is not allowed", "type"),
+    ("required property", "required"),
+    ("is smaller than", None),  # length vs value, resolved below
+    ("is bigger than", None),
+    ("is not multiple of", "multipleOf"),
+    ("additional properties are not allowed", "additionalProperties"),
+    ("are equal", "uniqueItems"),
+    ("must match exactly once", "oneOf"),
+    ("must match at least once", None),
+    ("must not match", "not"),
+    ("schema does not allow additionalItems", "additionalItems"),
+    ("invalid json", "json"),
+]
+
+
+def _keyword_of(msg: str) -> str:
+    """Draft-4 keyword for a wrapped message (for the ``keyword`` column)."""
+    for pat, kw in _KEYWORD_PATTERNS:
+        if pat in msg:
+            if kw is not None:
+                return kw
+            if pat == "must match at least once":
+                return "oneOf" if "oneOf" in msg else "anyOf"
+            is_len = "length is" in msg
+            tail = "smaller" if "smaller" in msg else "bigger"
+            if is_len:
+                if "string:" in msg.rsplit("length is", 1)[0][-40:]:
+                    return "minLength" if tail == "smaller" else "maxLength"
+                if "array:" in msg.rsplit("length is", 1)[0][-40:]:
+                    return "minItems" if tail == "smaller" else "maxItems"
+                return "minProperties" if tail == "smaller" else "maxProperties"
+            return "minimum" if tail == "smaller" else "maximum"
+    return "schema"
+
+
+class PayloadValidator:
+    """Validate a raw-JSON string column per row (events.props-style)."""
+
+    def __init__(
+        self,
+        schema_json: str,
+        payload_col: str,
+        id_cols: tuple[str, ...] = ("event_id",),
+    ) -> None:
+        self.schema: Schema = parse(schema_json)
+        self.payload_col = payload_col
+        self.id_cols = list(id_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        idx, kws, msgs = [], [], []
+        for i, doc in enumerate(payloads):
+            if doc is None:
+                continue
+            msg = self.schema.check(doc)
+            if msg is not None:
+                idx.append(i)
+                kws.append(_keyword_of(msg))
+                msgs.append(msg)
+        return _emit(batch, np.array(idx, dtype=np.int64), kws, msgs, self.id_cols)

@@ -1,0 +1,547 @@
+"""Compile a Draft-4 row schema into vectorized Arrow predicates.
+
+The reference validates one JSON document at a time by streaming tokens
+(validate.go:23-77).  Here the "document" is a row of an Arrow table — per
+BASELINE.json input_hint the row ``{"conv_id": …, "turn_idx": …, …}`` — and
+each keyword becomes a *columnar* kernel over the whole batch:
+
+================  =========================================================
+keyword           kernel
+================  =========================================================
+``type``          static arrow-type check at compile time (typed columns
+                  satisfy or violate wholesale; schema.go:27-65)
+``enum``          ``pc.is_in`` (validate.go:79-98's enumMap fast path,
+                  vectorized)
+``pattern``       ``pc.match_substring_regex`` — RE2, unanchored search,
+                  the same regex engine + semantics as Go ``regexp.Match``
+                  (validate.go:202-204)
+``min/maxLength`` ``pc.utf8_length`` — codepoint count, same unit as
+                  ``utf8.RuneCount`` (validate.go:193-201)
+``minimum`` etc.  typed comparisons, exact for integer columns with
+                  rational bounds (validate.go:231-253)
+``multipleOf``    integer modulo (exact); non-integral divisors fall back
+                  to per-row Fractions (validate.go:249-253)
+``required``      ``pc.is_valid`` — a NULL field is the absent key
+                  (validate.go:409-414,513-515)
+``dependencies``  dependentRequired as masked requiredness
+                  (validate.go:415-438)
+================  =========================================================
+
+**NULL = absent key.**  The row-object view drops NULL fields, so property
+keywords only apply to non-null values and ``required`` is exactly the
+null check.  The slow-path evaluator (stages/validate.py) builds row JSON
+the same way, which is what makes differential testing exact.
+
+**Fail-fast parity.**  ``mode="first"`` reports one violation per row — the
+first in the reference's evaluation order (per-key property checks in
+column order with each property's internal order enum → type → string/number
+branch, then ``required`` in declaration order; validate.go:29-77,452-515).
+``mode="all"`` reports every violation (the reference's own TODO at
+validate.go:18).
+
+Messages are the full wrapped-context strings the row-level validator
+produces, e.g. ``object: "role": enum: "\"bot\"" is not present in enum``.
+"""
+
+from __future__ import annotations
+
+import json
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.jsontypes import go_quote, rat_str
+from ..core.schema import (
+    ARRAY_T,
+    BOOLEAN_T,
+    INTEGER_T,
+    NULL_T,
+    NUMBER_T,
+    OBJECT_T,
+    STRING_T,
+    Schema,
+)
+
+__all__ = ["UnsupportedPlanError", "VectorPlan", "compile_plan", "VIOLATION_FIELDS"]
+
+VIOLATION_FIELDS = ("keyword", "message")
+
+
+class UnsupportedPlanError(ValueError):
+    """Schema shape the vectorized layer can't express; use the slow path."""
+
+
+def _arrow_json_type(t: pa.DataType) -> tuple[str, int]:
+    """(jx token name, typeSet bit) for an arrow column type."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string", STRING_T
+    if pa.types.is_integer(t):
+        return "number", INTEGER_T
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "number", NUMBER_T
+    if pa.types.is_boolean(t):
+        return "bool", BOOLEAN_T
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "string", STRING_T  # rendered as ISO strings in the row object
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array", ARRAY_T
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return "object", OBJECT_T
+    if pa.types.is_null(t):
+        return "null", NULL_T
+    raise UnsupportedPlanError(f"unsupported arrow type {t}")
+
+
+def _types_allow(types: int, bit: int) -> bool:
+    if types == 0:
+        return True
+    if bit == INTEGER_T:
+        # integer satisfies "number" too (schema.go:63-65 via numberType
+        # check in validateNumber, validate.go:209).
+        return bool(types & (INTEGER_T | NUMBER_T))
+    return bool(types & bit)
+
+
+class _Check:
+    """One vectorized predicate: mask(batch) → bool ndarray of violations."""
+
+    __slots__ = ("column", "keyword", "_mask", "_message")
+
+    def __init__(self, column, keyword, mask_fn, message) -> None:
+        self.column = column
+        self.keyword = keyword
+        self._mask = mask_fn
+        self._message = message
+
+    def mask(self, batch: pa.Table) -> np.ndarray:
+        return self._mask(batch)
+
+    def messages(self, batch: pa.Table, idx: np.ndarray) -> list[str]:
+        if callable(self._message):
+            vals = batch[self.column].take(pa.array(idx)).to_pylist()
+            return [self._message(v) for v in vals]
+        return [self._message] * len(idx)
+
+
+def _np_bool(arr) -> np.ndarray:
+    """ChunkedArray/Array of bool (possibly with nulls) → ndarray, null=False."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.fill_null(False).to_numpy(zero_copy_only=False)
+
+
+def _valid_mask(col) -> np.ndarray:
+    return _np_bool(pc.is_valid(col))
+
+
+def _render_scalar(v) -> str:
+    """Canonical JSON rendering of an arrow scalar python value."""
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if v is None:
+        return "null"
+    # datetime etc.
+    return json.dumps(_render_ts(v), ensure_ascii=False)
+
+
+def _render_ts(v) -> str:
+    return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+
+def _value_fraction(v) -> Fraction:
+    if isinstance(v, float):
+        return Fraction(v)  # exact binary expansion
+    return Fraction(v)
+
+
+class VectorPlan:
+    """Ordered vectorized checks compiled from (Schema, arrow schema).
+
+    ``static_violations`` are schema-level: the *table* shape itself violates
+    (missing required column, wholesale type mismatch); they apply to every
+    row and are reported once per partition by the pipeline rather than per
+    row.
+    """
+
+    def __init__(self, checks, static_violations, columns) -> None:
+        self.checks: list[_Check] = checks
+        self.static_violations: list[tuple[str, str, str]] = static_violations
+        self.columns = columns
+
+    def evaluate(self, batch: pa.Table, mode: str = "first"):
+        """→ (row_indices ndarray, keywords list, messages list)."""
+        n = batch.num_rows
+        out_idx: list[np.ndarray] = []
+        out_kw: list[str] = []
+        out_msg: list[str] = []
+        claimed = np.zeros(n, dtype=bool) if mode == "first" else None
+        rows: list[tuple[int, str, str]] = []
+        for check in self.checks:
+            mask = check.mask(batch)
+            if mode == "first":
+                new = mask & ~claimed
+                claimed |= mask
+            else:
+                new = mask
+            if not new.any():
+                continue
+            idx = np.flatnonzero(new)
+            msgs = check.messages(batch, idx)
+            for i, m in zip(idx, msgs):
+                rows.append((int(i), check.keyword, m))
+        if mode == "first":
+            rows.sort(key=lambda r: r[0])
+        else:
+            rows.sort(key=lambda r: (r[0],))
+        if rows:
+            out_idx = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        else:
+            out_idx = np.empty(0, dtype=np.int64)
+        out_kw = [r[1] for r in rows]
+        out_msg = [r[2] for r in rows]
+        return out_idx, out_kw, out_msg
+
+
+def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
+    """Compile the top-level object schema onto the table's columns."""
+    if schema.all_of or schema.any_of or schema.one_of or schema.not_ is not None or schema.enum:
+        raise UnsupportedPlanError("top-level composition keywords need the slow path")
+    if schema.types not in (0, OBJECT_T):
+        raise UnsupportedPlanError("top-level type must be object")
+    if schema.pattern_properties or schema.dependent_schemas:
+        raise UnsupportedPlanError("patternProperties/dependentSchemas need the slow path")
+    if schema.items is not None or schema.unique_items:
+        raise UnsupportedPlanError("array keywords at top level")
+
+    checks: list[_Check] = []
+    static: list[tuple[str, str, str]] = []
+    names = list(arrow_schema.names)
+    name_set = set(names)
+
+    # additionalProperties=false with unexpected table columns → schema-level.
+    if schema.additional_properties == ("bool", False):
+        for col in names:
+            if col not in schema.properties:
+                static.append(
+                    (
+                        col,
+                        "additionalProperties",
+                        f"object: {go_quote(col)}: additional properties are not allowed",
+                    )
+                )
+
+    # Per-key property checks in arrow column order (validate.go:452-508).
+    for col in names:
+        prop = schema.properties.get(col)
+        if prop is None:
+            continue
+        field_type = arrow_schema.field(col).type
+        checks.extend(_compile_property(col, prop, field_type, static))
+
+    # required after the key loop (validate.go:513-515), declaration order.
+    for req in schema.required:
+        if req not in name_set:
+            static.append(
+                (
+                    req,
+                    "required",
+                    f"object: required property {go_quote(req)} is missing",
+                )
+            )
+            continue
+        checks.append(
+            _Check(
+                req,
+                "required",
+                (lambda c: lambda b: ~_valid_mask(b[c]))(req),
+                f"object: required property {go_quote(req)} is missing",
+            )
+        )
+
+    # dependentRequired: key present → dependents required
+    # (validate.go:415-438).
+    for key, deps in schema.dependent_required.items():
+        if key not in name_set:
+            continue
+        for dep in deps:
+            if dep not in name_set:
+                checks.append(
+                    _Check(
+                        key,
+                        "dependencies",
+                        (lambda c: lambda b: _valid_mask(b[c]))(key),
+                        f"object: required property {go_quote(dep)} is missing",
+                    )
+                )
+                continue
+            checks.append(
+                _Check(
+                    key,
+                    "dependencies",
+                    (
+                        lambda k, d: lambda b: _valid_mask(b[k]) & ~_valid_mask(b[d])
+                    )(key, dep),
+                    f"object: required property {go_quote(dep)} is missing",
+                )
+            )
+
+    if schema.min_properties is not None or schema.max_properties is not None:
+        n_cols = len(names)  # NULLs vary per row: needs row-wise count
+        checks.append(
+            _Check(
+                names[0],
+                "minProperties" if schema.min_properties is not None else "maxProperties",
+                _props_count_mask(names, schema.min_properties, schema.max_properties),
+                _props_count_message(schema.min_properties, schema.max_properties),
+            )
+        )
+
+    return VectorPlan(checks, static, names)
+
+
+def _props_count_mask(names, min_p, max_p):
+    def mask(batch: pa.Table) -> np.ndarray:
+        count = np.zeros(batch.num_rows, dtype=np.int64)
+        for c in names:
+            count += _valid_mask(batch[c]).astype(np.int64)
+        bad = np.zeros(batch.num_rows, dtype=bool)
+        if min_p is not None:
+            bad |= count < min_p
+        if max_p is not None:
+            bad |= count > max_p
+        return bad
+
+    return mask
+
+
+def _props_count_message(min_p, max_p):
+    if min_p is not None:
+        return f"object: length is smaller than {min_p}"
+    return f"object: length is bigger than {max_p}"
+
+
+def _compile_property(col: str, prop: Schema, t: pa.DataType, static) -> list[_Check]:
+    if (
+        prop.all_of
+        or prop.any_of
+        or prop.one_of
+        or prop.not_ is not None
+        or prop.properties
+        or prop.pattern_properties
+        or prop.items is not None
+        or prop.required
+        or prop.dependent_required
+        or prop.dependent_schemas
+    ):
+        raise UnsupportedPlanError(
+            f"property {col!r} uses keywords the vectorized layer can't express"
+        )
+
+    tok, bit = _arrow_json_type(t)
+    checks: list[_Check] = []
+    is_ts = pa.types.is_timestamp(t) or pa.types.is_date(t)
+
+    # enum first (composition slot, validate.go:29-54).
+    if prop.enum:
+        checks.append(_enum_check(col, prop, t, is_ts))
+
+    # type: static per column (schema.go:27-65).
+    if not _types_allow(prop.types, bit):
+        msg = f"object: {go_quote(col)}: {tok}: type is not allowed"
+        checks.append(
+            _Check(col, "type", (lambda c: lambda b: _valid_mask(b[c]))(col), msg)
+        )
+        return checks  # fail-fast: type error shadows the rest for every row
+
+    if tok == "string":
+        if prop.min_length is not None or prop.max_length is not None:
+            if is_ts:
+                raise UnsupportedPlanError(f"length keywords on timestamp column {col!r}")
+            if prop.min_length is not None:
+                checks.append(
+                    _Check(
+                        col,
+                        "minLength",
+                        (
+                            lambda c, m: lambda b: _np_bool(
+                                pc.less(pc.utf8_length(b[c]), m)
+                            )
+                        )(col, prop.min_length),
+                        f"object: {go_quote(col)}: string: length is smaller than {prop.min_length}",
+                    )
+                )
+            if prop.max_length is not None:
+                checks.append(
+                    _Check(
+                        col,
+                        "maxLength",
+                        (
+                            lambda c, m: lambda b: _np_bool(
+                                pc.greater(pc.utf8_length(b[c]), m)
+                            )
+                        )(col, prop.max_length),
+                        f"object: {go_quote(col)}: string: length is bigger than {prop.max_length}",
+                    )
+                )
+        if prop.pattern is not None:
+            if is_ts:
+                raise UnsupportedPlanError(f"pattern on timestamp column {col!r}")
+            pat = prop.pattern_source
+            checks.append(
+                _Check(
+                    col,
+                    "pattern",
+                    (
+                        lambda c, p: lambda b: _np_bool(
+                            pc.invert(pc.match_substring_regex(b[c], p))
+                        )
+                    )(col, pat),
+                    f"object: {go_quote(col)}: string: does not match pattern {pat}",
+                )
+            )
+    elif tok == "number":
+        lexical_int = pa.types.is_integer(t)
+        if not lexical_int and (prop.types & INTEGER_T) and not (prop.types & NUMBER_T):
+            # float column declared integer-only: every non-null value has a
+            # fractional lexeme (we render doubles with repr), so this was
+            # handled by the type check above via _types_allow.
+            pass
+        checks.extend(_numeric_checks(col, prop, t))
+    return checks
+
+
+def _enum_check(col, prop: Schema, t, is_ts) -> _Check:
+    from ..core.jsontypes import JNum
+
+    vals = prop.enum
+    py_vals = []
+    for v in vals:
+        if isinstance(v, JNum):
+            f = v.fraction()
+            py_vals.append(int(f) if f.denominator == 1 else float(f))
+        elif isinstance(v, (str, bool)) or v is None:
+            py_vals.append(v)
+        else:
+            raise UnsupportedPlanError(f"composite enum values on column {col!r}")
+    if is_ts:
+        raise UnsupportedPlanError(f"enum on timestamp column {col!r}")
+    try:
+        value_set = pa.array(py_vals, type=t)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        # No enum value fits the column type → every non-null value fails.
+        def mask_all(b, c=col):
+            return _valid_mask(b[c])
+
+        return _Check(col, "enum", mask_all, _enum_msg(col))
+
+    def mask(b, c=col, vs=value_set):
+        return _np_bool(pc.invert(pc.is_in(b[c], value_set=vs))) & _valid_mask(b[c])
+
+    return _Check(col, "enum", mask, _enum_msg(col))
+
+
+def _enum_msg(col):
+    q = go_quote(col)
+
+    def message(v) -> str:
+        return f"object: {q}: enum: {go_quote(_render_scalar(v))} is not present in enum"
+
+    return message
+
+
+def _numeric_checks(col, prop: Schema, t) -> list[_Check]:
+    checks = []
+    int_col = pa.types.is_integer(t)
+    q = go_quote(col)
+
+    def bound_scalar(bound: Fraction, kind: str):
+        """Exact comparison value for the column type.
+
+        For integer columns an exclusive-equivalent integer threshold is
+        computed so rational bounds stay exact; float columns compare in
+        float64 (their own value domain).
+        """
+        if int_col:
+            return bound
+        return float(bound)
+
+    if prop.minimum is not None:
+        b = prop.minimum
+        excl = prop.exclusive_minimum
+
+        if int_col and b.denominator != 1:
+            import math
+
+            thr = math.ceil(b)  # v < b  ⟺  v < ceil(b) for integers
+            mask_fn = (lambda c, th: lambda bt: _np_bool(pc.less(bt[c], th)))(col, thr)
+        else:
+            cmp = pc.less_equal if excl else pc.less
+            mask_fn = (
+                lambda c, th, cp: lambda bt: _np_bool(cp(bt[c], th))
+            )(col, int(b) if int_col else float(b), cmp)
+
+        def msg_min(v, b=b):
+            return f"object: {q}: number: value {rat_str(_value_fraction(v))} is smaller than {rat_str(b)}"
+
+        checks.append(_Check(col, "minimum", mask_fn, msg_min))
+
+    if prop.maximum is not None:
+        b = prop.maximum
+        excl = prop.exclusive_maximum
+        if int_col and b.denominator != 1:
+            import math
+
+            thr = math.floor(b)
+            mask_fn = (lambda c, th: lambda bt: _np_bool(pc.greater(bt[c], th)))(
+                col, thr
+            )
+        else:
+            cmp = pc.greater_equal if excl else pc.greater
+            mask_fn = (
+                lambda c, th, cp: lambda bt: _np_bool(cp(bt[c], th))
+            )(col, int(b) if int_col else float(b), cmp)
+
+        def msg_max(v, b=b):
+            return f"object: {q}: number: value {rat_str(_value_fraction(v))} is bigger than {rat_str(b)}"
+
+        checks.append(_Check(col, "maximum", mask_fn, msg_max))
+
+    if prop.multiple_of is not None:
+        m = prop.multiple_of
+        if int_col and m.denominator == 1:
+            mask_fn = (
+                lambda c, k: lambda bt: _np_bool(
+                    pc.not_equal(
+                        pc.subtract(
+                            bt[c], pc.multiply(pc.divide(bt[c], k), k)
+                        ),
+                        0,
+                    )
+                )
+            )(col, int(m))
+        else:
+
+            def mask_fn(bt, c=col, k=m):
+                vals = bt[c].to_numpy(zero_copy_only=False)
+                ok = _valid_mask(bt[c])
+                bad = np.zeros(len(vals), dtype=bool)
+                for i in np.flatnonzero(ok):
+                    bad[i] = (_value_fraction(vals[i]) / k).denominator != 1
+                return bad
+
+        def msg_mul(v, m=m):
+            quo = _value_fraction(v) / m
+            return f"object: {q}: number: {rat_str(quo)} is not multiple of {rat_str(m)}"
+
+        checks.append(_Check(col, "multipleOf", mask_fn, msg_mul))
+    return checks

@@ -1,0 +1,87 @@
+"""Differential test: vectorized plan ≡ slow-path row evaluator, plus
+sketch accuracy checks (no Ray needed)."""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from jsonschema_ray.sources.transcripts import (
+    TRANSCRIPT_SCHEMA_JSON,
+    transcripts_path,
+)
+from jsonschema_ray.stages.sketches import HLL, TDigest
+from jsonschema_ray.stages.validate import SlowPathValidator, VectorValidator
+
+
+@pytest.fixture(scope="module")
+def planted_table():
+    d = transcripts_path("/root/testdata/sf0.001")
+    return pa.concat_tables(pq.read_table(f) for f in sorted(glob.glob(d + "/*.parquet")))
+
+
+@pytest.mark.parametrize("mode", ["first", "all"])
+def test_vector_equals_slow_path(planted_table, mode):
+    vv = VectorValidator(TRANSCRIPT_SCHEMA_JSON, planted_table.schema, mode=mode)
+    out_v = vv(planted_table).to_pandas()
+    if mode == "first":
+        sv = SlowPathValidator(TRANSCRIPT_SCHEMA_JSON)
+        out_s = sv(planted_table).to_pandas()
+        key = ["conv_id", "turn_idx", "keyword", "message"]
+        a = out_v.sort_values(key).reset_index(drop=True)
+        b = out_s.sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+        assert len(a) > 0
+    else:
+        assert len(out_v) >= 0
+
+
+def test_vector_plan_catches_each_planted_kind(planted_table):
+    vv = VectorValidator(TRANSCRIPT_SCHEMA_JSON, planted_table.schema)
+    kws = set(vv(planted_table).to_pandas()["keyword"])
+    assert {"enum", "minLength", "minimum"} <= kws
+
+
+def test_hll_accuracy():
+    rng = np.random.default_rng(7)
+    for true_n in (100, 10_000, 200_000):
+        vals = rng.integers(0, true_n * 10, size=true_n * 3)
+        vals = np.unique(vals)[:true_n]
+        h = HLL(p=12)
+        # split across "batches" and merge, like the pipeline does
+        parts = np.array_split(vals, 7)
+        sketches = []
+        for p in parts:
+            s = HLL(p=12)
+            s.update_values(p)
+            sketches.append(s)
+        for s in sketches:
+            h = h.merge(s)
+        est = h.estimate()
+        assert abs(est - len(vals)) / len(vals) < 0.05, (true_n, est)
+
+
+def test_hll_serialization_roundtrip():
+    h = HLL(p=12)
+    h.update_values(np.arange(1000))
+    h2 = HLL.from_bytes(h.to_bytes())
+    assert np.array_equal(h.registers, h2.registers)
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(3.0, 1.0, size=100_000)
+    td = TDigest()
+    merged = TDigest()
+    for chunk in np.array_split(data, 13):
+        part = TDigest()
+        part.update(chunk)
+        merged = merged.merge(part)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = np.quantile(data, q)
+        est = merged.quantile(q)
+        assert abs(est - exact) / exact < 0.05, (q, exact, est)
