@@ -51,6 +51,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_segment_revenue": q.q_segment_revenue,
         "q_distinct_exact": q.q_distinct_exact,
         "q_stats_minmax": q.q_stats_minmax,
+        # training-data ops
+        "q_exact_dedup": q.q_exact_dedup,
+        "q_token_stats": q.q_token_stats,
+        "q_quality_scores": q.q_quality_scores,
+        "q_lang_id": q.q_lang_id,
+        "q_jaccard_pairs": q.q_jaccard_pairs,
+        "q_cosine_topk": q.q_cosine_topk,
+        # rows-only (non-SQL-expressible; pytest holds their oracles)
+        "q_minhash_pairs": q.q_minhash_pairs,
+        "q_simhash": q.q_simhash,
+        "q_fingerprints": q.q_fingerprints,
+        "q_hll_distinct": q.q_hll_distinct,
+        "q_drift_stats": q.q_drift_stats,
+        "q_decode_features": q.q_decode_features,
     }
 
 
@@ -71,4 +85,10 @@ def oracle_sql() -> dict[str, str]:
         "q_segment_revenue": q.SEGMENT_REVENUE_SQL,
         "q_distinct_exact": q.distinct_exact_sql(path),
         "q_stats_minmax": q.stats_minmax_sql(path),
+        "q_exact_dedup": q.EXACT_DEDUP_SQL,
+        "q_token_stats": q.TOKEN_STATS_SQL,
+        "q_quality_scores": q.QUALITY_SQL,
+        "q_lang_id": q.LANG_ID_SQL,
+        "q_jaccard_pairs": q.JACCARD_SQL,
+        "q_cosine_topk": q.COSINE_TOPK_SQL,
     }

@@ -368,20 +368,20 @@ def q_distinct_exact(sf_dir: str):
     ds = rd.read_parquet(path)
     rows = []
     for col in ("conv_id", "role", "tool"):
-        n = ds.select_columns([col]).groupby(col).count().count()
-        has_null = False
-        # groupby treats NULL as its own group in Ray; count nulls separately
-        nn = ds.map_batches(
-            lambda t, c=col: pa.table(
-                {"n": pa.array([t[c].null_count], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ).sum("n")
-        if nn > 0:
-            has_null = True
-        rows.append(
-            {"column_name": col, "n_distinct": int(n) - (1 if has_null else 0)}
+        # combiner: per-batch unique + null drop BEFORE the shuffle, so the
+        # groupby only moves one row per (batch, value) and never sees a
+        # NULL sort key (which crashes Ray's sort-based aggregate)
+        n = (
+            ds.select_columns([col])
+            .map_batches(
+                lambda t, c=col: pa.table({c: t[c].combine_chunks().drop_null().unique()}),
+                batch_format="pyarrow",
+            )
+            .groupby(col)
+            .count()
+            .count()
         )
+        rows.append({"column_name": col, "n_distinct": int(n)})
     return pa.Table.from_pylist(rows)
 
 
@@ -435,3 +435,220 @@ SELECT 'text', CAST(COUNT(*) AS BIGINT),
        CAST(COUNT(*) - COUNT(text) AS BIGINT), NULL, NULL
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis ---------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact content dedup of documents (group-by-content, keep min id)."""
+    import ray.data as rd
+
+    from ..stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds, key="text")
+
+
+EXACT_DEDUP_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.text import token_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_stats(ds)
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.text import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_scores(ds)
+
+
+QUALITY_SQL = r"""
+WITH s AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         CAST(len(list_filter(toks, x -> x IN ('the','and','of','a','to','in','is','it'))) AS DOUBLE) / len(toks) END, 6) AS stop_ratio,
+       ROUND(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) END, 6) AS mean_token_len
+FROM s
+"""
+
+
+def q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.text import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(ds)
+
+
+LANG_ID_SQL = r"""
+WITH s AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+sc AS (SELECT doc_id,
+  len(list_filter(toks, x -> x IN ('der','und'))) AS de,
+  len(list_filter(toks, x -> x IN ('the','and'))) AS en,
+  len(list_filter(toks, x -> x IN ('el','y')))   AS es,
+  len(list_filter(toks, x -> x IN ('le','et')))  AS fr,
+  len(list_filter(toks, x -> x IN ('的','是')))  AS zh
+FROM s)
+SELECT doc_id,
+  CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+       WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+       WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+       WHEN es >= fr AND es >= zh THEN 'es'
+       WHEN fr >= zh THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM sc
+"""
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact all-pairs word-3-gram Jaccard ≥ 0.5 via shingle inverted index."""
+    import ray.data as rd
+
+    from ..stages.dedup import jaccard_pairs_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return jaccard_pairs_exact(ds, threshold=0.5)
+
+
+JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT p.a, p.b,
+       ROUND(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6) AS jaccard
+FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
+"""
+
+
+def q_cosine_topk(sf_dir: str):
+    """Exact brute-force cosine top-5 for query vectors 0..9."""
+    import ray.data as rd
+
+    from ..stages.ann import cosine_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_topk(ds, query_ids=list(range(10)), k=5)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+r AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+  FROM s)
+SELECT query_id, vec_id, CAST(rn AS BIGINT) AS rank, sim FROM r WHERE rn <= 5
+"""
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidates verified with exact Jaccard
+    (rows-only: LSH recall is probabilistic; tested against the exact
+    inverted-index pairs in pytest)."""
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.dedup import simhash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash64(ds)
+
+
+def q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from ..stages.text import fingerprints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprints(ds)
+
+
+def q_hll_distinct(sf_dir: str):
+    """HLL estimates (rows-only; accuracy asserted vs exact in pytest)."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from ..stages.stats import profile_dataset
+
+    path = transcripts_path(sf_dir)
+    prof = profile_dataset(rd.read_parquet(path), columns=["conv_id", "role", "text"])
+    rows = [
+        {"column_name": c, "distinct_est": float(prof[c]["distinct_hll"])}
+        for c in ("conv_id", "role", "text")
+    ]
+    return _pa.Table.from_pylist(rows)
+
+
+def q_drift_stats(sf_dir: str):
+    """Exact KS / chi-square drift statistics, drift variant vs clean."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from ..stages.drift import drift_compare, drift_profile
+
+    clean = drift_profile(rd.read_parquet(transcripts_path(sf_dir, "clean")))
+    drifted = drift_profile(rd.read_parquet(transcripts_path(sf_dir, "drift")))
+    stats = drift_compare(clean, drifted)
+    rows = [
+        {"feature": col, "stat": name, "value": float(v)}
+        for col, st in sorted(stats.items())
+        for name, v in sorted(st.items())
+    ]
+    return _pa.Table.from_pylist(rows)
+
+
+def q_decode_features(sf_dir: str):
+    """Multimodal plumbing: binary payload → actor-pool decode features
+    (deterministic fake codec; rows-only)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import attach_payload, decode_features
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decode_features(attach_payload(ds))

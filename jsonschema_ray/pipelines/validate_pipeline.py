@@ -21,6 +21,7 @@ import pyarrow as pa
 from ..sources.transcripts import TRANSCRIPT_SCHEMA_JSON
 from ..stages.checks import (
     contiguity_violations,
+    conv_checks_violations,
     duplicate_key_violations,
     referential_violations,
     ts_order_violations,
@@ -53,6 +54,7 @@ def transcript_violations(
 ):
     """→ Dataset of violation rows, sorted by (conv_id, turn_idx)."""
     parts = []
+    fold_referential = "rows" in checks and "referential" in checks
     if "rows" in checks:
         kwargs = dict(
             batch_format="pyarrow",
@@ -64,17 +66,24 @@ def transcript_violations(
                 schema_json=schema_json,
                 arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
                 mode=mode,
+                with_referential=fold_referential,
             ),
         )
         parts.append(ds.map_batches(VectorValidator, **kwargs))
-    if "referential" in checks:
+    elif "referential" in checks:
         parts.append(referential_violations(ds))
-    if "unique" in checks:
-        parts.append(duplicate_key_violations(ds))
-    if "contiguity" in checks:
-        parts.append(contiguity_violations(ds))
-    if "order" in checks:
-        parts.append(ts_order_violations(ds))
+
+    conv_wanted = tuple(c for c in ("unique", "contiguity", "order") if c in checks)
+    if conv_wanted == ("unique", "contiguity", "order"):
+        # One hash shuffle on conv_id serves all three conversation checks.
+        parts.append(conv_checks_violations(ds))
+    else:
+        if "unique" in conv_wanted:
+            parts.append(duplicate_key_violations(ds))
+        if "contiguity" in conv_wanted:
+            parts.append(contiguity_violations(ds))
+        if "order" in conv_wanted:
+            parts.append(ts_order_violations(ds))
     out = parts[0]
     if len(parts) > 1:
         out = out.union(*parts[1:])

@@ -282,6 +282,68 @@ def generate_transcripts(
     return out_dir
 
 
+def payload_docs_path(n_docs: int = 1_000_000, seed: int = 42) -> str:
+    """Deterministic table of raw JSON documents (doc_id, doc) — one JSON
+    object per transcript turn, for the distributed slow-path validation
+    bench (the direct analogue of the reference's ``Validate(data []byte)``
+    over a corpus).  Cached under /tmp; ~5% of docs carry planted
+    violations."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/graft_transcripts/payload-{n_docs}-{seed}-v2"
+    spec_path = os.path.join(out, "_SPEC.json")
+    if os.path.exists(spec_path):
+        return out
+
+    cols = _gen_clean(seed, n_docs)
+    cols = _plant(cols, seed, fraction=0.02)
+    n = len(cols["turn_idx"])
+    ts = pd.to_datetime(cols["ts"], unit="us").strftime("%Y-%m-%dT%H:%M:%S.%f")
+    conv = pd.Series(cols["conv_id"], dtype=str)
+    role = pd.Series(cols["role"], dtype=str)
+    text = pd.Series(cols["text"], dtype=str)
+    tool = pd.Series(cols["tool"], dtype=object)
+    tool_part = np.where(
+        tool.isna(), "", ',"tool":"' + tool.fillna("").astype(str) + '"'
+    )
+    docs = (
+        '{"conv_id":"'
+        + conv
+        + '","turn_idx":'
+        + pd.Series(cols["turn_idx"]).astype(str)
+        + ',"role":"'
+        + role
+        + '","text":"'
+        + text
+        + '"'
+        + pd.Series(tool_part, dtype=str)
+        + ',"ts":"'
+        + pd.Series(np.asarray(ts), dtype=str)
+        + '"}'
+    )
+    table = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "doc": pa.array(docs.to_numpy(dtype=object), pa.string()),
+        }
+    )
+    tmp = out + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    per_file = 25_000
+    for i, lo in enumerate(range(0, n, per_file)):
+        pq.write_table(table.slice(lo, per_file), os.path.join(tmp, f"part-{i:05d}.parquet"))
+    with open(os.path.join(tmp, "_SPEC.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "seed": seed}, f)
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
 def transcripts_path(sf_dir: str, variant: str = "planted") -> str:
     """Deterministic per-scale-factor transcript location under /tmp.
 

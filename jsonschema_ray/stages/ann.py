@@ -1,0 +1,178 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`cosine_topk` — exact brute-force top-k: the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul and emits
+  only its local top-k candidates, a final tiny ``groupby(query_id)``
+  reduces to the global top-k.  Shuffled payload = k rows per query per
+  batch, never the embeddings.
+* :func:`lsh_topk` — the scale path: random-hyperplane signatures bucket
+  vectors (signed projections, b-bit codes); only same-bucket (multi-probe)
+  candidates are scored.  Recall < 1 by design; the exact variant is the
+  ground truth in tests.
+
+Ties are broken deterministically on (rounded −sim, vec_id) so results are
+reproducible across partitionings and match the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["cosine_topk", "lsh_topk"]
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return m / norm
+
+
+def _batch_matrix(t: pa.Table, col: str) -> np.ndarray:
+    arr = t[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+class _TopKScorer:
+    """Actor: normalized query matrix fetched from the object store once."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str) -> None:
+        import ray
+
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qm = _normalize(q["matrix"])
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy()
+        m = _batch_matrix(t, self.vec_col)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        sims = self.qm @ _normalize(m).T  # (nq, nb)
+        k = min(self.k + 1, sims.shape[1])  # +1 to survive self-match removal
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            out_v.append(ids[part[qi]])
+            out_s.append(sims[qi, part[qi]])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "sim": pa.array(np.round(np.concatenate(out_s), 6)),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["vec_id"]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank", "sim"]]
+
+    return reduce_group
+
+
+def cosine_topk(ds, query_ids, k: int = 5, vec_col="embedding", id_col="vec_id", concurrency=(1, 8)):
+    """Exact top-k cosine neighbors for the given query ids (self excluded)."""
+    import ray
+
+    qdf = (
+        ds.map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t[id_col], value_set=pa.array(query_ids, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    order = np.argsort(qdf[id_col].to_numpy())
+    qmat = np.vstack(qdf[vec_col].to_numpy()[order]).astype(np.float64)
+    ref = ray.put({"ids": qdf[id_col].to_numpy()[order], "matrix": qmat})
+
+    cands = ds.map_batches(
+        _TopKScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col),
+    )
+    return cands.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+def lsh_topk(
+    ds,
+    query_ids,
+    k: int = 5,
+    bits: int = 12,
+    vec_col="embedding",
+    id_col="vec_id",
+    dim: int | None = None,
+    seed: int = 23,
+):
+    """Approximate top-k: score only vectors whose b-bit hyperplane code is
+    within Hamming distance ≤ 2 of the query's code (multi-probe)."""
+    import ray
+
+    sample = ds.take(1)[0]
+    d = dim or len(sample[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, bits))
+
+    def code_of(m: np.ndarray) -> np.ndarray:
+        return ((_normalize(m) @ planes) > 0) @ (1 << np.arange(bits))
+
+    qdf = (
+        ds.map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t[id_col], value_set=pa.array(query_ids, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    qmat = np.vstack(qdf[vec_col].to_numpy()).astype(np.float64)
+    qcodes = code_of(qmat)
+    # multi-probe: all codes within hamming ≤ 2 (pigeonhole over bit flips)
+    probe: set[int] = set()
+    for c in qcodes:
+        c = int(c)
+        probe.add(c)
+        for i in range(bits):
+            probe.add(c ^ (1 << i))
+            for j in range(i + 1, bits):
+                probe.add(c ^ (1 << i) ^ (1 << j))
+    probe_arr = np.asarray(sorted(probe), dtype=np.int64)
+    qref = ray.put({"ids": qdf[id_col].to_numpy(), "matrix": qmat})
+
+    class BucketScorer(_TopKScorer):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _batch_matrix(t, vec_col)
+            if m.size == 0:
+                return super().__call__(t)
+            codes = code_of(m)
+            keep = np.isin(codes, probe_arr)
+            return super().__call__(t.filter(pa.array(keep)))
+
+    cands = ds.map_batches(
+        BucketScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col),
+    )
+    return cands.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")

@@ -35,6 +35,7 @@ __all__ = [
     "referential_violations",
     "contiguity_violations",
     "ts_order_violations",
+    "conv_checks_violations",
     "EMPTY_VIOLATIONS",
 ]
 
@@ -80,38 +81,40 @@ def duplicate_key_violations(ds, keys=("conv_id", "turn_idx")):
 
 def referential_violations(ds, role_col="role", tool_col="tool"):
     def emit(batch: pa.Table) -> pa.Table:
-        role = batch[role_col]
-        is_tool_role = pc.equal(role, "tool")
-        tool_set = pc.is_valid(batch[tool_col])
-        missing = pc.and_kleene(is_tool_role, pc.invert(tool_set))
-        missing = pc.fill_null(missing, False).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        spurious = pc.and_kleene(
-            pc.fill_null(pc.invert(is_tool_role), True), tool_set
-        )
-        spurious = pc.fill_null(spurious, False).combine_chunks().to_numpy(
-            zero_copy_only=False
-        )
-        idx = np.concatenate([np.flatnonzero(missing), np.flatnonzero(spurious)])
-        msgs = ['tool must be set when role is "tool"'] * int(missing.sum())
-        roles = batch[role_col].take(pa.array(np.flatnonzero(spurious))).to_pylist()
-        msgs += [
-            f"tool must be null when role is {go_quote(r) if r is not None else 'null'}"
-            for r in roles
-        ]
-        order = np.argsort(idx, kind="stable")
-        take = pa.array(idx[order], type=pa.int64())
-        return pa.table(
-            {
-                "conv_id": batch["conv_id"].take(take),
-                "turn_idx": batch["turn_idx"].take(take),
-                "keyword": pa.array(["referential"] * len(idx), pa.string()),
-                "message": pa.array([msgs[i] for i in order], pa.string()),
-            }
-        )
+        return referential_batch(batch, role_col, tool_col)
 
     return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def referential_batch(batch: pa.Table, role_col="role", tool_col="tool") -> pa.Table:
+    role = batch[role_col]
+    is_tool_role = pc.equal(role, "tool")
+    tool_set = pc.is_valid(batch[tool_col])
+    missing = pc.and_kleene(is_tool_role, pc.invert(tool_set))
+    missing = pc.fill_null(missing, False).combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    spurious = pc.and_kleene(pc.fill_null(pc.invert(is_tool_role), True), tool_set)
+    spurious = pc.fill_null(spurious, False).combine_chunks().to_numpy(
+        zero_copy_only=False
+    )
+    idx = np.concatenate([np.flatnonzero(missing), np.flatnonzero(spurious)])
+    msgs = ['tool must be set when role is "tool"'] * int(missing.sum())
+    roles = batch[role_col].take(pa.array(np.flatnonzero(spurious))).to_pylist()
+    msgs += [
+        f"tool must be null when role is {go_quote(r) if r is not None else 'null'}"
+        for r in roles
+    ]
+    order = np.argsort(idx, kind="stable")
+    take = pa.array(idx[order], type=pa.int64())
+    return pa.table(
+        {
+            "conv_id": batch["conv_id"].take(take),
+            "turn_idx": batch["turn_idx"].take(take),
+            "keyword": pa.array(["referential"] * len(idx), pa.string()),
+            "message": pa.array([msgs[i] for i in order], pa.string()),
+        }
+    )
 
 
 def _violations_table(sub: pd.DataFrame, keyword: str, messages) -> pa.Table:
@@ -175,4 +178,46 @@ def ts_order_violations(ds):
         ds.select_columns(["conv_id", "turn_idx", "ts"])
         .groupby("conv_id")
         .map_groups(_ts_order_group, batch_format="pandas")
+    )
+
+
+def _dup_in_group(g: pd.DataFrame) -> pa.Table:
+    counts = g["turn_idx"].value_counts()
+    dup = counts[counts > 1]
+    if len(dup) == 0:
+        return EMPTY_VIOLATIONS
+    sub = pd.DataFrame(
+        {"conv_id": g["conv_id"].iloc[0], "turn_idx": dup.index.to_numpy()}
+    ).sort_values("turn_idx")
+    msgs = [
+        f"(conv_id, turn_idx) appears {int(c)} times"
+        for c in dup.sort_index().to_numpy()
+    ]
+    return _violations_table(sub, "uniqueItems", msgs)
+
+
+def _conv_checks_group(g: pd.DataFrame) -> pa.Table:
+    """All three conversation-level checks in one grouped pass.
+
+    (conv_id, turn_idx) uniqueness nests inside the conv_id partition, so a
+    single hash shuffle on conv_id serves uniqueness + contiguity + ts
+    order — one exchange instead of three at 100 TB.
+    """
+    parts = [
+        _dup_in_group(g),
+        _contiguity_group(g),
+        _ts_order_group(g),
+    ]
+    parts = [p for p in parts if p.num_rows > 0]
+    if not parts:
+        return EMPTY_VIOLATIONS
+    return pa.concat_tables(parts)
+
+
+def conv_checks_violations(ds):
+    """uniqueItems + contiguity + order via a single groupby(conv_id)."""
+    return (
+        ds.select_columns(["conv_id", "turn_idx", "ts"])
+        .groupby("conv_id")
+        .map_groups(_conv_checks_group, batch_format="pandas")
     )

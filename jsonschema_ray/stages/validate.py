@@ -54,7 +54,11 @@ def _emit(batch: pa.Table, idx: np.ndarray, keywords, messages, id_cols) -> pa.T
 
 
 class VectorValidator:
-    """Vectorized constraint evaluation; one compiled plan per actor."""
+    """Vectorized constraint evaluation; one compiled plan per actor.
+
+    ``with_referential=True`` folds the role/tool referential check
+    (stages/checks.py) into the same batch pass, so the row stage makes a
+    single sweep over each Arrow block."""
 
     def __init__(
         self,
@@ -62,14 +66,23 @@ class VectorValidator:
         arrow_schema: pa.Schema,
         id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         mode: str = "first",
+        with_referential: bool = False,
     ) -> None:
         self.plan: VectorPlan = compile_plan(parse(schema_json), arrow_schema)
         self.id_cols = list(id_cols)
         self.mode = mode
+        self.with_referential = with_referential
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         idx, kws, msgs = self.plan.evaluate(batch, mode=self.mode)
-        return _emit(batch, idx, kws, msgs, self.id_cols)
+        out = _emit(batch, idx, kws, msgs, self.id_cols)
+        if self.with_referential:
+            from .checks import referential_batch
+
+            ref = referential_batch(batch)
+            if ref.num_rows:
+                out = pa.concat_tables([out, ref])
+        return out
 
 
 def row_to_tree(names, values, ts_cols, float_cols, row: int):
@@ -161,6 +174,41 @@ def _keyword_of(msg: str) -> str:
                 return "minProperties" if tail == "smaller" else "maxProperties"
             return "minimum" if tail == "smaller" else "maximum"
     return "schema"
+
+
+# Per-worker-process compile cache: stateless map_batches tasks get the same
+# compile-once amortization an actor pool gives (jsonschema.go:6-16's Parse
+# vs per-doc Validate split), without pool cold-start — tasks reuse warm Ray
+# worker processes.
+_SCHEMA_CACHE: dict[str, Schema] = {}
+
+
+def _cached_schema(schema_json: str) -> Schema:
+    sch = _SCHEMA_CACHE.get(schema_json)
+    if sch is None:
+        sch = _SCHEMA_CACHE.setdefault(schema_json, parse(schema_json))
+    return sch
+
+
+def validate_payload_batch(
+    batch: pa.Table,
+    schema_json: str,
+    payload_col: str,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> pa.Table:
+    """Stateless-task twin of :class:`PayloadValidator`."""
+    sch = _cached_schema(schema_json)
+    payloads = batch[payload_col].to_pylist()
+    idx, kws, msgs = [], [], []
+    for i, doc in enumerate(payloads):
+        if doc is None:
+            continue
+        msg = sch.check(doc)
+        if msg is not None:
+            idx.append(i)
+            kws.append(_keyword_of(msg))
+            msgs.append(msg)
+    return _emit(batch, np.array(idx, dtype=np.int64), kws, msgs, list(id_cols))
 
 
 class PayloadValidator:
