@@ -57,7 +57,6 @@ def main() -> None:
 
     path = transcripts_path(SF_DIR)  # cached deterministic generation
 
-    # Warm the page cache (untimed) so we measure compute + shuffle.
     n_turns = rd.read_parquet(path).count()
 
     timings: dict[str, float] = {}
@@ -68,6 +67,10 @@ def main() -> None:
         viol = transcript_violations(rd.read_parquet(path))
         return viol.count()
 
+    # Untimed warm pass: page cache + worker library imports + actor pool
+    # spin-up.  A 100 TB run amortizes these over hours; the timed pass
+    # measures the steady state.
+    headline()
     headline_sec, n_viol = _timed(headline)
     timings["validate_full"] = round(headline_sec, 3)
 
@@ -122,7 +125,9 @@ def scaling_workload() -> None:
     )
     from jsonschema_ray.stages.validate import validate_payload_batch
 
-    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "4000000"))
+    # Sized so the slowest leg runs >60s: fixed session overhead (~1-2s)
+    # must stay <2% of the measurement or it masquerades as poor scaling.
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "8000000"))
     path = payload_docs_path(n_docs)
     ds = rd.read_parquet(path)
     n = ds.count()  # warm page cache + worker pool

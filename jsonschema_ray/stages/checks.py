@@ -128,96 +128,137 @@ def _violations_table(sub: pd.DataFrame, keyword: str, messages) -> pa.Table:
     )
 
 
-def _contiguity_group(g: pd.DataFrame) -> pa.Table:
-    """Local gap detection: sorted turn_idx must start at 0 and each turn
-    must follow its predecessor by exactly 1 (duplicates are flagged by the
-    uniqueness check, not here)."""
-    g = g.sort_values("turn_idx", kind="stable")
-    got = g["turn_idx"].to_numpy()
-    bad = np.zeros(len(got), dtype=bool)
-    bad[0] = got[0] != 0
-    if len(got) > 1:
-        nxt, prv = got[1:], got[:-1]
-        bad[1:] = (nxt != prv + 1) & (nxt != prv)  # equal = duplicate, not a gap
+# ---------------------------------------------------------------------------
+# Conversation-level checks, hash-bucketed and vectorized.
+#
+# groupby(conv_id).map_groups costs one Python call + one pandas frame per
+# conversation — at 10^12 turns that is ~10^11 UDF calls.  Instead we bucket
+# conversations by hash(conv_id) % P (P sized so one bucket's key columns fit
+# a worker's heap), shuffle ONCE on the bucket id, and run every check
+# vectorized across all conversations in the bucket with pandas groupby
+# kernels.  Same co-location guarantee (a conversation never straddles
+# buckets), P UDF calls total instead of one per conversation.
+
+
+def _dups_in_bucket(df: pd.DataFrame) -> pa.Table:
+    """uniqueItems (validate.go:359-370 lifted to the table key): one
+    violation per duplicated (conv_id, turn_idx) with its multiplicity."""
+    sizes = df.groupby(["conv_id", "turn_idx"], sort=False).size()
+    dup = sizes[sizes > 1]
+    if len(dup) == 0:
+        return EMPTY_VIOLATIONS
+    dd = dup.rename("c").reset_index().sort_values(["conv_id", "turn_idx"])
+    msgs = [f"(conv_id, turn_idx) appears {int(c)} times" for c in dd["c"]]
+    return _violations_table(dd, "uniqueItems", msgs)
+
+
+def _contiguity_in_bucket(df: pd.DataFrame) -> pa.Table:
+    """Gap detection: per conversation, sorted turn_idx must start at 0 and
+    each turn must follow its predecessor by exactly 1 (equal = duplicate,
+    flagged by the uniqueness check, not here).  df must be sorted by
+    (conv_id, turn_idx)."""
+    conv = df["conv_id"].to_numpy()
+    got = df["turn_idx"].to_numpy()
+    n = len(got)
+    if n == 0:
+        return EMPTY_VIOLATIONS
+    first = np.ones(n, dtype=bool)
+    first[1:] = conv[1:] != conv[:-1]
+    prv = np.empty_like(got)
+    prv[0] = 0
+    prv[1:] = got[:-1]
+    bad_first = first & (got != 0)
+    bad_follow = (~first) & (got != prv + 1) & (got != prv)
+    bad = bad_first | bad_follow
     if not bad.any():
         return EMPTY_VIOLATIONS
     pos = np.flatnonzero(bad)
     msgs = [
-        f"turn_idx {got[0]} at conversation start: expected 0"
-        if p == 0
-        else f"turn_idx {got[p]} does not follow {got[p - 1]}"
+        f"turn_idx {got[p]} at conversation start: expected 0"
+        if first[p]
+        else f"turn_idx {got[p]} does not follow {prv[p]}"
         for p in pos
     ]
-    return _violations_table(g.iloc[pos], "contiguity", msgs)
+    return _violations_table(df.iloc[pos], "contiguity", msgs)
 
 
-def contiguity_violations(ds):
-    return (
-        ds.select_columns(["conv_id", "turn_idx"])
-        .groupby("conv_id")
-        .map_groups(_contiguity_group, batch_format="pandas")
-    )
-
-
-def _ts_order_group(g: pd.DataFrame) -> pa.Table:
-    g = g.sort_values(["turn_idx", "ts"], kind="stable")
-    # max ts among rows with strictly smaller turn_idx
-    per_turn_max = g.groupby("turn_idx")["ts"].max()
-    prev_max = per_turn_max.cummax().shift(1)
-    bound = g["turn_idx"].map(prev_max)
-    bad = (g["ts"] < bound).to_numpy()
+def _ts_order_in_bucket(df: pd.DataFrame) -> pa.Table:
+    """Per conversation: ts must be non-decreasing across turn_idx — a row
+    violates if its ts precedes the max ts of any strictly smaller turn_idx.
+    df must be sorted by (conv_id, turn_idx)."""
+    per_turn_max = df.groupby(["conv_id", "turn_idx"], sort=False)["ts"].max()
+    bound = (
+        per_turn_max.groupby(level="conv_id").cummax().groupby(level="conv_id").shift(1)
+    ).rename("_bound").reset_index()
+    m = df.merge(bound, on=["conv_id", "turn_idx"], how="left", sort=False)
+    bad = (m["ts"] < m["_bound"]).to_numpy()
     if not bad.any():
         return EMPTY_VIOLATIONS
     return _violations_table(
-        g.loc[bad], "order", ["ts decreases within conversation"] * int(bad.sum())
+        m.loc[bad], "order", ["ts decreases within conversation"] * int(bad.sum())
     )
 
 
-def ts_order_violations(ds):
-    return (
-        ds.select_columns(["conv_id", "turn_idx", "ts"])
-        .groupby("conv_id")
-        .map_groups(_ts_order_group, batch_format="pandas")
-    )
-
-
-def _dup_in_group(g: pd.DataFrame) -> pa.Table:
-    counts = g["turn_idx"].value_counts()
-    dup = counts[counts > 1]
-    if len(dup) == 0:
-        return EMPTY_VIOLATIONS
-    sub = pd.DataFrame(
-        {"conv_id": g["conv_id"].iloc[0], "turn_idx": dup.index.to_numpy()}
-    ).sort_values("turn_idx")
-    msgs = [
-        f"(conv_id, turn_idx) appears {int(c)} times"
-        for c in dup.sort_index().to_numpy()
-    ]
-    return _violations_table(sub, "uniqueItems", msgs)
-
-
-def _conv_checks_group(g: pd.DataFrame) -> pa.Table:
-    """All three conversation-level checks in one grouped pass.
-
-    (conv_id, turn_idx) uniqueness nests inside the conv_id partition, so a
-    single hash shuffle on conv_id serves uniqueness + contiguity + ts
-    order — one exchange instead of three at 100 TB.
-    """
-    parts = [
-        _dup_in_group(g),
-        _contiguity_group(g),
-        _ts_order_group(g),
-    ]
+def _run_bucket(df: pd.DataFrame, which: tuple[str, ...]) -> pa.Table:
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    parts = []
+    if "unique" in which:
+        parts.append(_dups_in_bucket(df))
+    if "contiguity" in which:
+        parts.append(_contiguity_in_bucket(df))
+    if "order" in which:
+        parts.append(_ts_order_in_bucket(df))
     parts = [p for p in parts if p.num_rows > 0]
     if not parts:
         return EMPTY_VIOLATIONS
     return pa.concat_tables(parts)
 
 
-def conv_checks_violations(ds):
-    """uniqueItems + contiguity + order via a single groupby(conv_id)."""
+def _pick_buckets(ds, num_buckets: int | None) -> int:
+    if num_buckets is not None:
+        return num_buckets
+    # Size P so one bucket's key columns (~25% of row bytes here) stay well
+    # under a worker's heap; metadata-only for parquet reads.
+    try:
+        sz = ds.size_bytes() or 0
+    except Exception:
+        sz = 0
+    return max(32, int(sz // (512 << 20)) + 1)
+
+
+def _bucketed_conv_checks(ds, which: tuple[str, ...], num_buckets: int | None, cols):
+    nb = _pick_buckets(ds, num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(conv.astype(object)) % nb).astype(np.int32)
+        return t.append_column("_b", pa.array(b, pa.int32()))
+
     return (
-        ds.select_columns(["conv_id", "turn_idx", "ts"])
-        .groupby("conv_id")
-        .map_groups(_conv_checks_group, batch_format="pandas")
+        ds.select_columns(list(cols))  # shuffle only the key bytes
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: _run_bucket(g, which),
+            batch_format="pandas",
+        )
+    )
+
+
+def contiguity_violations(ds, num_buckets: int | None = None):
+    return _bucketed_conv_checks(
+        ds, ("contiguity",), num_buckets, ("conv_id", "turn_idx")
+    )
+
+
+def ts_order_violations(ds, num_buckets: int | None = None):
+    return _bucketed_conv_checks(
+        ds, ("order",), num_buckets, ("conv_id", "turn_idx", "ts")
+    )
+
+
+def conv_checks_violations(ds, num_buckets: int | None = None):
+    """uniqueItems + contiguity + order via a single hash-bucketed shuffle."""
+    return _bucketed_conv_checks(
+        ds, ("unique", "contiguity", "order"), num_buckets, ("conv_id", "turn_idx", "ts")
     )
