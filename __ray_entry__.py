@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_id": q.q_lang_id,
         "q_jaccard_pairs": q.q_jaccard_pairs,
         "q_cosine_topk": q.q_cosine_topk,
+        "q_embedding_dups": q.q_embedding_dups,
+        "q_top_convs": q.q_top_convs,
         # rows-only (non-SQL-expressible; pytest holds their oracles)
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_simhash": q.q_simhash,
@@ -91,4 +93,6 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": q.LANG_ID_SQL,
         "q_jaccard_pairs": q.JACCARD_SQL,
         "q_cosine_topk": q.COSINE_TOPK_SQL,
+        "q_embedding_dups": q.EMBEDDING_DUPS_SQL,
+        "q_top_convs": q.top_convs_sql(path),
     }

@@ -1,0 +1,80 @@
+"""Job entry point: ``ray job submit -- python -m jsonschema_ray ...``.
+
+Runs the resumable validation pipeline (state/manifest.py) over a parquet
+directory and prints a one-line JSON summary.  Owns the Ray session only
+when run standalone (``ray job submit`` provides one via RAY_ADDRESS).
+
+Examples:
+    python -m jsonschema_ray validate --input /data/transcripts --out /out
+    python -m jsonschema_ray validate --input ... --out ... --shard-size 16
+    python -m jsonschema_ray profile --input /data/transcripts
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True)
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="jsonschema_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="resumable validation run with manifests")
+    v.add_argument("--input", required=True, help="directory of parquet files")
+    v.add_argument("--out", required=True, help="output directory (violations + manifests)")
+    v.add_argument("--shard-size", type=int, default=8, help="input files per shard")
+    v.add_argument("--schema", default=None, help="path to a JSON Schema file (default: transcript schema)")
+    v.add_argument("--mode", default="first", choices=["first", "all"])
+    v.add_argument("--num-cpus", type=int, default=None)
+
+    pr = sub.add_parser("profile", help="column stats profile (null/min/max, HLL, t-digest)")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+    import ray
+    import ray.data as rd
+
+    try:
+        if args.cmd == "validate":
+            from .state.manifest import run_resumable
+
+            schema_json = None
+            if args.schema:
+                with open(args.schema) as f:
+                    schema_json = f.read()
+            summary = run_resumable(
+                args.input,
+                args.out,
+                shard_size=args.shard_size,
+                schema_json=schema_json,
+                mode=args.mode,
+            )
+            print(json.dumps(summary))
+            return 0 if summary.get("verdict") == "pass" else 3
+        if args.cmd == "profile":
+            from .stages.stats import profile_dataset
+
+            prof = profile_dataset(rd.read_parquet(args.input))
+            print(json.dumps(prof, default=str))
+            return 0
+    finally:
+        ray.shutdown()
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -469,7 +469,8 @@ def q_token_stats(sf_dir: str):
 
 TOKEN_STATS_SQL = r"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_subtokens
 FROM documents
 """
 
@@ -652,3 +653,51 @@ def q_decode_features(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return decode_features(attach_payload(ds))
+
+
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (exact broadcast matmul)."""
+    import ray.data as rd
+
+    from ..stages.dedup import embedding_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.2, method="exact")
+
+
+EMBEDDING_DUPS_SQL = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                    CAST(y.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.2
+"""
+
+
+def q_top_convs(sf_dir: str):
+    """Top-10 longest conversations: pre-aggregated groupby → global top-k."""
+    import ray.data as rd
+
+    path = transcripts_path(sf_dir)
+    counts = (
+        rd.read_parquet(path)
+        .select_columns(["conv_id"])
+        .groupby("conv_id")
+        .count()
+    )
+    top = counts.sort(["count()", "conv_id"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: pa.table(
+            {"conv_id": t["conv_id"], "n_turns": t["count()"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_convs_sql(path: str) -> str:
+    return f"""
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM read_parquet('{path}/*.parquet')
+GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 10
+"""

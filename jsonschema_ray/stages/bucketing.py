@@ -1,0 +1,75 @@
+"""Hash-bucketed grouped execution.
+
+``Dataset.groupby(key).map_groups(fn)`` costs one Python call + one pandas
+frame per distinct key.  For high-cardinality keys (shingles, candidate
+pairs, conversation ids) that is the dominant cost at any scale.  The
+pattern here buckets rows by ``hash(key) % P`` and shuffles ONCE on the
+small bucket id; the caller's function then processes a whole bucket —
+thousands of key-groups — with vectorized pandas/numpy kernels.  Keys never
+straddle buckets, so any per-key computation stays correct.
+
+P defaults from the dataset's input size (metadata-only for parquet) so one
+bucket's rows fit comfortably in a worker's heap at any input scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["pick_num_buckets", "bucketed_map_groups", "group_bounds"]
+
+_BUCKET_COL = "__bucket"
+
+
+def pick_num_buckets(ds, num_buckets: int | None, target_bytes: int = 512 << 20) -> int:
+    if num_buckets is not None:
+        return num_buckets
+    try:
+        sz = ds.size_bytes() or 0
+    except Exception:
+        sz = 0
+    return max(32, int(sz // target_bytes) + 1)
+
+
+def bucketed_map_groups(ds, key_cols, fn, num_buckets: int | None = None):
+    """Shuffle by hash(key_cols) % P, then apply ``fn`` per bucket.
+
+    ``fn`` receives a pandas DataFrame holding every row of every key-group
+    hashed into the bucket (bucket column removed) and returns a DataFrame
+    or pyarrow Table.
+    """
+    nb = pick_num_buckets(ds, num_buckets)
+    keys = list(key_cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in keys:
+            arr = t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            if arr.dtype == object:
+                hc = pd.util.hash_array(arr.astype(object))
+            else:
+                hc = pd.util.hash_array(arr)
+            h = h * np.uint64(1000003) ^ hc
+        return t.append_column(_BUCKET_COL, pa.array((h % nb).astype(np.int32)))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(_BUCKET_COL)
+        .map_groups(
+            lambda g: fn(g.drop(columns=[_BUCKET_COL])),
+            batch_format="pandas",
+        )
+    )
+
+
+def group_bounds(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-value runs in a sorted key array."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n]])
+    return starts, ends

@@ -37,6 +37,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",
+    "embedding_dup_pairs",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -64,15 +65,18 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
         keyed = ds.select_columns([id_col, text_col])
         group_col = text_col
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+    from .bucketing import bucketed_map_groups
+
+    def keep_first_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False)[id_col].agg(["min", "size"])
         return pd.DataFrame(
             {
-                "doc_id_kept": [int(g[id_col].min())],
-                "n_copies": [len(g)],
+                "doc_id_kept": g["min"].to_numpy(np.int64),
+                "n_copies": g["size"].to_numpy(np.int64),
             }
         )
 
-    return keyed.groupby(group_col).map_groups(keep_first, batch_format="pandas")
+    return bucketed_map_groups(keyed, [group_col], keep_first_bucket)
 
 
 # -- shingles / exact Jaccard ------------------------------------------------
@@ -126,43 +130,69 @@ def jaccard_pairs_exact(
     very many docs (skew guard for production); leave ``None`` for exact
     all-pairs semantics (the SQL oracle has no cap)."""
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        sizes = g.set_index("doc_id")["n_sh"]
-        if len(ids) < 2 or (hot_shingle_cap is not None and len(ids) > hot_shingle_cap):
-            return pd.DataFrame({"a": [], "b": [], "na": [], "nb": []}).astype(
-                {"a": np.int64, "b": np.int64, "na": np.int64, "nb": np.int64}
-            )
-        ai, bi = np.triu_indices(len(ids), k=1)
+    from .bucketing import bucketed_map_groups, group_bounds
+
+    _PAIRS_EMPTY = pd.DataFrame({"a": [], "b": [], "na": [], "nb": []}).astype(
+        {"a": np.int64, "b": np.int64, "na": np.int64, "nb": np.int64}
+    )
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # Every doc-pair co-occurring on any shingle hashed into this bucket.
+        # Singleton shingles (the vast majority) drop before the loop; the
+        # remaining loop touches numpy slices only, never pandas frames.
+        df = df[df.duplicated("shingle", keep=False)]
+        if df.empty:
+            return _PAIRS_EMPTY
+        df = df.sort_values(["shingle", "doc_id"], kind="stable")
+        sh_arr = df["shingle"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        nsh = df["n_sh"].to_numpy()
+        starts, ends = group_bounds(sh_arr)
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for s, e in zip(starts, ends):
+            cnt = e - s
+            if cnt < 2 or (hot_shingle_cap is not None and cnt > hot_shingle_cap):
+                continue
+            ai, bi = np.triu_indices(cnt, k=1)
+            out_a.append(ids[s:e][ai])
+            out_b.append(ids[s:e][bi])
+            out_na.append(nsh[s:e][ai])
+            out_nb.append(nsh[s:e][bi])
+        if not out_a:
+            return _PAIRS_EMPTY
         return pd.DataFrame(
             {
-                "a": ids[ai],
-                "b": ids[bi],
-                "na": sizes.loc[ids[ai]].to_numpy(),
-                "nb": sizes.loc[ids[bi]].to_numpy(),
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "na": np.concatenate(out_na),
+                "nb": np.concatenate(out_nb),
             }
         )
 
-    sh = shingle_rows(ds, text_col, id_col, n)
-    cand = sh.groupby("shingle").map_groups(pairs_in_group, batch_format="pandas")
-
-    def jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        inter = len(g)  # one row per shared shingle
-        na, nb = int(g["na"].iloc[0]), int(g["nb"].iloc[0])
-        jac = inter / (na + nb - inter)
-        if jac < threshold:
+    def jaccard_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # intersection size = number of shared shingles = rows per (a, b)
+        g = (
+            df.groupby(["a", "b"], sort=False)
+            .agg(inter=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+            .reset_index()
+        )
+        jac = g["inter"] / (g["na"] + g["nb"] - g["inter"])
+        g = g[jac >= threshold]
+        if g.empty:
             return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
                 {"a": np.int64, "b": np.int64, "jaccard": np.float64}
             )
         return pd.DataFrame(
             {
-                "a": [int(g["a"].iloc[0])],
-                "b": [int(g["b"].iloc[0])],
-                "jaccard": [round(jac, 6)],
+                "a": g["a"].to_numpy(np.int64),
+                "b": g["b"].to_numpy(np.int64),
+                "jaccard": jac[g.index].round(6).to_numpy(),
             }
         )
 
-    return cand.groupby(["a", "b"]).map_groups(jaccard, batch_format="pandas")
+    sh = shingle_rows(ds, text_col, id_col, n)
+    cand = bucketed_map_groups(sh, ["shingle"], pairs_in_bucket)
+    return bucketed_map_groups(cand, ["a", "b"], jaccard_in_bucket)
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -253,24 +283,45 @@ def minhash_lsh_pairs(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(np.unique(g["doc_id"].to_numpy()))
-        if len(ids) < 2 or len(ids) > 500:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": np.int64, "b": np.int64})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    from .bucketing import bucketed_map_groups, group_bounds
 
-    cand = (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band", "bhash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # dedupe pairs
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # Pairs sharing an LSH band bucket, vectorized across all (band,
+        # bhash) groups hashed into this shuffle bucket.
+        df = df.drop_duplicates(["band", "bhash", "doc_id"])
+        df = df[df.duplicated(["band", "bhash"], keep=False)]
+        if df.empty:
+            return pd.DataFrame({"a": [], "b": []}).astype({"a": np.int64, "b": np.int64})
+        df = df.sort_values(["band", "bhash", "doc_id"], kind="stable")
+        key = (
+            df["band"].to_numpy(np.uint64) << np.uint64(48)
+        ) ^ df["bhash"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy()
+        starts, ends = group_bounds(key)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            cnt = e - s
+            if cnt < 2 or cnt > 500:  # hot-bucket cap (skew guard)
+                continue
+            ai, bi = np.triu_indices(cnt, k=1)
+            out_a.append(ids[s:e][ai])
+            out_b.append(ids[s:e][bi])
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": []}).astype({"a": np.int64, "b": np.int64})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        ).drop_duplicates()
+
+    cand = bucketed_map_groups(
+        sigs.map_batches(band_rows, batch_format="pyarrow"),
+        ["bhash"],
+        bucket_pairs,
     )
 
-    # Verify with exact Jaccard: the candidate set is small, so ship the
-    # involved docs' shingle sets as a broadcast lookup.
-    pairs = cand.to_pandas()
+    # Verify with exact Jaccard: the candidate set is small (LSH prunes it),
+    # so collect it, dedupe cross-band repeats, and ship the involved docs'
+    # shingle sets as a driver-side lookup.
+    pairs = cand.to_pandas().drop_duplicates(["a", "b"])
     if len(pairs) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
             {"a": np.int64, "b": np.int64, "jaccard": np.float64}
@@ -330,3 +381,129 @@ def simhash64(ds, text_col="text", id_col="doc_id"):
         )
 
     return ds.map_batches(compute, batch_format="pyarrow")
+
+
+# -- embedding-cosine near-duplicates ---------------------------------------
+
+
+def embedding_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "exact",
+    bits: int = 12,
+    seed: int = 23,
+):
+    """All (a < b) pairs with cosine similarity ≥ threshold.
+
+    ``method="exact"`` broadcasts the normalized matrix once (``ray.put``)
+    and each batch does one matmul against it — O(n²) compare work spread
+    over the cluster, zero shuffle.  Right whenever the matrix fits the
+    object store (n·d·8 bytes; ~30 GB at n=10M, d=384).
+
+    ``method="lsh"`` is the 100 TB path: random-hyperplane codes bucket the
+    vectors, one hash shuffle on the code, and only same-bucket pairs are
+    scored (recall < 1 by construction; the exact variant is the test
+    oracle — near-identical vectors agree on every hyperplane sign with
+    probability ≈ 1 - d(θ)/π per bit).
+    """
+    import ray
+
+    from .ann import _batch_matrix, _normalize
+
+    if method == "lsh":
+        sample = ds.take(1)[0]
+        d = len(sample[vec_col])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((d, bits))
+
+        def add_code(t: pa.Table) -> pa.Table:
+            m = _batch_matrix(t, vec_col)
+            code = (
+                ((_normalize(m) @ planes) > 0) @ (1 << np.arange(bits))
+                if m.size
+                else np.empty(0, np.int64)
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    vec_col: t[vec_col],
+                    "code": pa.array(code.astype(np.int64)),
+                }
+            )
+
+        from .bucketing import bucketed_map_groups, group_bounds
+
+        def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
+                {"a": np.int64, "b": np.int64, "sim": np.float64}
+            )
+            df = df[df.duplicated("code", keep=False)]
+            if df.empty:
+                return empty
+            df = df.sort_values(["code", id_col], kind="stable")
+            codes = df["code"].to_numpy()
+            ids = df[id_col].to_numpy()
+            mat = _normalize(np.vstack(df[vec_col].to_numpy()).astype(np.float64))
+            starts, ends = group_bounds(codes)
+            out = []
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                sims = mat[s:e] @ mat[s:e].T
+                ai, bi = np.triu_indices(e - s, k=1)
+                keep = sims[ai, bi] >= threshold
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[s:e][ai[keep]],
+                            "b": ids[s:e][bi[keep]],
+                            "sim": np.round(sims[ai, bi][keep], 6),
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True) if out else empty
+
+        coded = ds.select_columns([id_col, vec_col]).map_batches(
+            add_code, batch_format="pyarrow"
+        )
+        return bucketed_map_groups(coded, ["code"], pairs_in_bucket)
+
+    # exact: broadcast the full normalized matrix, one matmul per batch
+    all_df = ds.select_columns([id_col, vec_col]).to_pandas()
+    order = np.argsort(all_df[id_col].to_numpy())
+    ids_all = all_df[id_col].to_numpy()[order]
+    mat_all = _normalize(np.vstack(all_df[vec_col].to_numpy()[order]).astype(np.float64))
+    ref = ray.put({"ids": ids_all, "matrix": mat_all})
+
+    class PairScorer:
+        def __init__(self) -> None:
+            side = ray.get(ref)
+            self.ids, self.mat = side["ids"], side["matrix"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = _batch_matrix(t, vec_col)
+            if m.size == 0:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            ids = t[id_col].to_numpy()
+            sims = _normalize(m) @ self.mat.T  # (batch, n)
+            bi, aj = np.nonzero(sims >= threshold)
+            keep = ids[bi] < self.ids[aj]  # a < b, self-pairs excluded
+            return pa.table(
+                {
+                    "a": pa.array(ids[bi][keep].astype(np.int64)),
+                    "b": pa.array(self.ids[aj][keep].astype(np.int64)),
+                    "sim": pa.array(np.round(sims[bi, aj][keep], 6)),
+                }
+            )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        PairScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )

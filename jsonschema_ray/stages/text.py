@@ -38,17 +38,24 @@ LANG_MARKERS = {
 }
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs —
+# the usual byte-level-BPE split classes, ASCII-scoped so the RE2 pattern
+# means the same thing in pyarrow and DuckDB.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_stats(ds, text_col="text", id_col="doc_id"):
     def stats(t: pa.Table) -> pa.Table:
-        n_tokens = pc.list_value_length(pc.split_pattern_regex(t[text_col], r"\s+"))
-        # split_pattern_regex counts empty strings at the edges; count
-        # non-empty tokens instead for parity with regexp_extract_all(\S+).
-        toks = [len((s or "").split()) for s in t[text_col].to_pylist()]
         return pa.table(
             {
                 id_col: t[id_col],
                 "n_chars": pc.utf8_length(t[text_col]).cast(pa.int64()),
-                "n_tokens": pa.array(np.asarray(toks, dtype=np.int64)),
+                "n_tokens": pc.count_substring_regex(t[text_col], pattern=r"\S+").cast(
+                    pa.int64()
+                ),
+                "n_subtokens": pc.count_substring_regex(
+                    t[text_col], pattern=BPE_SPLIT_RE
+                ).cast(pa.int64()),
             }
         )
 

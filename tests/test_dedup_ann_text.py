@@ -183,3 +183,35 @@ def test_lang_id_deterministic_tiebreak():
     out = lang_id(ds).to_pandas().sort_values("doc_id")
     # doc1: en=1 ('the'), es=1 ('el') → tie → alphabetical: 'en'? no — 'en' vs 'es': en
     assert list(out["lang_pred"]) == ["en", "und", "de"]
+
+
+def test_embedding_dup_pairs_exact_vs_lsh():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((300, 64))
+    rows = [(i, base[i]) for i in range(300)]
+    planted = set()
+    for src in (0, 1, 2, 3, 4):
+        dup_id = 1000 + src
+        rows.append((dup_id, base[src] + 0.01 * rng.standard_normal(64)))
+        planted.add((src, dup_id))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1].tolist() for r in rows], pa.list_(pa.float64())),
+            }
+        )
+    )
+    exact = embedding_dup_pairs(ds, threshold=0.95, method="exact").to_pandas()
+    got_exact = set(zip(exact["a"], exact["b"]))
+    assert planted <= got_exact  # every planted near-identical pair found
+    approx = embedding_dup_pairs(ds, threshold=0.95, method="lsh").to_pandas()
+    got_lsh = set(zip(approx["a"], approx["b"]))
+    assert got_lsh <= got_exact  # LSH reports no false positives (verified sims)
+    assert len(got_lsh & planted) / len(planted) >= 0.8  # high recall on near-identical
