@@ -38,10 +38,11 @@ class JNum:
     ``.``/``e``/``E`` (reference validate.go:221).
     """
 
-    __slots__ = ("lexeme",)
+    __slots__ = ("lexeme", "_frac")
 
     def __init__(self, lexeme: str) -> None:
         self.lexeme = lexeme
+        self._frac = None
 
     @property
     def is_int(self) -> bool:
@@ -49,7 +50,13 @@ class JNum:
         return "." not in lx and "e" not in lx and "E" not in lx
 
     def fraction(self) -> Fraction:
-        return Fraction(self.lexeme)
+        f = self._frac
+        if f is None:
+            lx = self.lexeme
+            # int lexemes skip Fraction's string-parsing regex
+            f = Fraction(int(lx)) if self.is_int else Fraction(lx)
+            self._frac = f
+        return f
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"JNum({self.lexeme!r})"
@@ -69,6 +76,19 @@ def _reject_constant(name: str):
     raise JSONError(f"invalid json: constant {name} is not allowed")
 
 
+def _make_decoder():
+    import json
+
+    return json.JSONDecoder(
+        parse_float=JNum, parse_int=JNum, parse_constant=_reject_constant
+    )
+
+
+# json.loads(**kwargs) builds a fresh JSONDecoder per call; one shared
+# instance (stateless, thread-safe) drops that from the per-doc hot path.
+_DECODER = _make_decoder()
+
+
 def parse_json(data):
     """Parse ``bytes | str`` into a lexeme-preserving tree.
 
@@ -76,20 +96,13 @@ def parse_json(data):
     dicts preserve insertion order, matching the reference's streaming object
     iteration, validate.go:452-508).
     """
-    import json
-
     if isinstance(data, (bytes, bytearray)):
         try:
             data = data.decode("utf-8")
         except UnicodeDecodeError as e:
             raise JSONError(f"invalid json: {e}") from None
     try:
-        return json.loads(
-            data,
-            parse_float=JNum,
-            parse_int=JNum,
-            parse_constant=_reject_constant,
-        )
+        return _DECODER.decode(data)
     except JSONError:
         raise
     except ValueError as e:

@@ -36,7 +36,15 @@ import re
 from fractions import Fraction
 
 from .equal import equal
-from .jsontypes import JNum, go_quote, json_token_type, rat_str, to_json
+from .jsontypes import (
+    JNum,
+    JSONError,
+    go_quote,
+    json_token_type,
+    parse_json,
+    rat_str,
+    to_json,
+)
 
 __all__ = ["ValidationError", "Schema", "TYPE_BITS"]
 
@@ -65,6 +73,9 @@ TYPE_BITS = {
     "array": ARRAY_T,
     "object": OBJECT_T,
 }
+
+
+_MISSING = object()  # sentinel: one dict lookup decides presence + value
 
 
 def _fail(msg: str):
@@ -108,6 +119,9 @@ class Schema:
         "max_length",
         "pattern",
         "pattern_source",
+        "_enum_str_set",
+        "_num_fast",
+        "_has_comp",
     )
 
     def __init__(self) -> None:
@@ -140,13 +154,16 @@ class Schema:
         self.max_length: int | None = None
         self.pattern: re.Pattern | None = None
         self.pattern_source: str | None = None
+        # lazy fast-path caches (fields above are filled by the compiler
+        # after construction, so these are computed on first use)
+        self._enum_str_set: frozenset | None = None
+        self._num_fast: tuple | None = None
+        self._has_comp: bool | None = None
 
     # -- public API ------------------------------------------------------
 
     def validate_json(self, data) -> None:
         """Validate raw JSON ``bytes | str``; raises ValidationError."""
-        from .jsontypes import JSONError, parse_json
-
         try:
             tree = parse_json(data)
         except JSONError as e:
@@ -167,7 +184,12 @@ class Schema:
     # -- validate dispatch (validate.go:23-77) ---------------------------
 
     def validate(self, value) -> None:
-        if self.enum or self.all_of or self.one_of or self.any_of or self.not_ is not None:
+        has_comp = self._has_comp
+        if has_comp is None:
+            has_comp = self._has_comp = bool(
+                self.enum or self.all_of or self.one_of or self.any_of
+            ) or self.not_ is not None
+        if has_comp:
             try:
                 self._validate_enum(value)
             except ValidationError as e:
@@ -189,26 +211,39 @@ class Schema:
             except ValidationError as e:
                 _wrap("not", e)
 
-        tt = json_token_type(value)
+        # exact-type dispatch (the tree holds only None/bool/str/JNum/
+        # list/dict); the jx token-type name is rendered only on failure
+        t = type(value)
         try:
-            if tt == "string":
+            if t is str:
                 self._validate_string(value)
-            elif tt == "number":
+            elif t is JNum:
                 self._validate_number(value)
-            elif tt == "null" or tt == "bool":
-                self._check_type(NULL_T if tt == "null" else BOOLEAN_T)
-            elif tt == "array":
+            elif t is dict:
+                self._validate_object(value)
+            elif t is list:
                 self._validate_array(value)
             else:
-                self._validate_object(value)
+                self._check_type(NULL_T if value is None else BOOLEAN_T)
         except ValidationError as e:
-            _wrap(tt, e)
+            _wrap(json_token_type(value), e)
 
     # -- composition (validate.go:79-161) --------------------------------
 
     def _validate_enum(self, value) -> None:
         if not self.enum:
             return
+        if type(value) is str:
+            # deep equality can only match a str against a str variant, so a
+            # raw-string set decides membership without rendering JSON
+            ss = self._enum_str_set
+            if ss is None:
+                ss = self._enum_str_set = frozenset(
+                    v for v in self.enum if type(v) is str
+                )
+            if value in ss:
+                return
+            _fail(f"{go_quote(to_json(value))} is not present in enum")
         if to_json(value) in self.enum_keys:
             return  # fast path, cf. enumMap (validate.go:84-87)
         for variant in self.enum:
@@ -292,6 +327,25 @@ class Schema:
                 self._check_type(NUMBER_T)
                 return
         if has_constraints:
+            # int-vs-int fast path: integral bounds + integer lexeme compare
+            # as machine ints, skipping Fraction allocation entirely
+            fast = self._num_fast
+            if fast is None:
+                fast = self._num_fast = (
+                    self.multiple_of is None
+                    and (self.minimum is None or self.minimum.denominator == 1)
+                    and (self.maximum is None or self.maximum.denominator == 1),
+                    None if self.minimum is None else self.minimum.numerator,
+                    None if self.maximum is None else self.maximum.numerator,
+                )
+            if fast[0] and num.is_int:
+                v = int(num.lexeme)
+                lo, hi = fast[1], fast[2]
+                if lo is not None and (v < lo or (self.exclusive_minimum and v == lo)):
+                    _fail(f"value {v}/1 is smaller than {lo}/1")
+                if hi is not None and (v > hi or (self.exclusive_maximum and v == hi)):
+                    _fail(f"value {v}/1 is bigger than {hi}/1")
+                return
             val = num.fraction()
             if self.minimum is not None:
                 if val < self.minimum or (self.exclusive_minimum and val == self.minimum):
@@ -402,10 +456,12 @@ class Schema:
         )
         for k, v in obj.items():
             required.pop(k, None)
-            prop = self.properties.get(k)
-            in_props = k in self.properties
-            if not in_props and not multi_pass:
-                continue
+            prop = self.properties.get(k, _MISSING)
+            in_props = prop is not _MISSING
+            if not in_props:
+                prop = None
+                if not multi_pass:
+                    continue
             try:
                 if not multi_pass:
                     prop.validate(v)
