@@ -51,6 +51,7 @@ def transcript_violations(
     mode: str = "first",
     concurrency: int | None = None,
     batch_size: int = 65536,
+    conv_strategy: str = "bucket",
 ):
     """→ Dataset of violation rows, sorted by (conv_id, turn_idx)."""
     parts = []
@@ -75,8 +76,16 @@ def transcript_violations(
 
     conv_wanted = tuple(c for c in ("unique", "contiguity", "order") if c in checks)
     if conv_wanted == ("unique", "contiguity", "order"):
-        # One hash shuffle on conv_id serves all three conversation checks.
-        parts.append(conv_checks_violations(ds))
+        # One hash shuffle serves all three conversation checks.  "bucket"
+        # co-locates whole conversations (bounded by the longest conv);
+        # "salted" keys by (conv_id, turn_idx // R) and stitches ranges
+        # via per-range summaries — skew-proof for degenerate conversations.
+        if conv_strategy == "salted":
+            from ..stages.checks import conv_checks_salted
+
+            parts.append(conv_checks_salted(ds))
+        else:
+            parts.append(conv_checks_violations(ds))
     else:
         if "unique" in conv_wanted:
             parts.append(duplicate_key_violations(ds))

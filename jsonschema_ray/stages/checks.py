@@ -12,10 +12,15 @@ These generalize reference keywords beyond a single document:
   value-conditional: ``role == "tool"`` ⇔ ``tool`` set.  Pure vectorized
   ``map_batches``; no shuffle.
 * **contiguity / ts order** — per-conversation invariants: ``turn_idx`` is
-  0..n-1 and ``ts`` is non-decreasing across turns.  ``groupby(conv_id)
-  .map_groups`` over just the 3 needed columns; a conversation is the
-  minimal co-location unit, so skew is bounded by the longest conversation,
-  not the hottest key's total bytes.
+  0..n-1 and ``ts`` is non-decreasing across turns.  Two strategies:
+  ``conv_checks_violations`` hash-buckets whole conversations (skew bounded
+  by the longest conversation); ``conv_checks_salted`` implements the
+  north-star's salted repartition — the shuffle key is
+  ``(conv_id, turn_idx // R)`` so no group exceeds R rows even for a
+  degenerate 10^10-turn conversation, and ranges are stitched with tiny
+  per-range summaries (min/max turn, min/max ts) plus a sparse second scan
+  for cross-range ts violations.  Both produce identical violation
+  multisets (tested at range_size=4).
 
 All emit the violation-row schema (conv_id, turn_idx, keyword, message)
 (FIXTURES.md §4) so they union with the row-level stage.
@@ -36,6 +41,7 @@ __all__ = [
     "contiguity_violations",
     "ts_order_violations",
     "conv_checks_violations",
+    "conv_checks_salted",
     "EMPTY_VIOLATIONS",
 ]
 
@@ -262,3 +268,280 @@ def conv_checks_violations(ds, num_buckets: int | None = None):
     return _bucketed_conv_checks(
         ds, ("unique", "contiguity", "order"), num_buckets, ("conv_id", "turn_idx", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted (range-split) conversation checks — the skew-proof variant.
+#
+# Hash-bucketing by conv_id bounds a bucket by the LONGEST conversation: one
+# degenerate 10^10-turn conversation lands whole in one worker.  The salted
+# variant keys the shuffle by (conv_id, turn_idx // R), so no group ever
+# exceeds R rows (+ duplicates), and stitches ranges with per-range
+# summaries — one row per R turns:
+#
+# * uniqueness never straddles ranges (turn t maps to exactly one salt);
+# * contiguity boundary pairs come from adjacent summaries (max_turn[k] vs
+#   min_turn[k+1]) — computed on the tiny summary table;
+# * ts ordering is local except rows whose ts precedes the max ts of an
+#   EARLIER range (all earlier ranges hold strictly smaller turn_idx).  The
+#   incoming bound per range is a cummax over summaries; only ranges with
+#   bound > local min_ts need a per-row fixup pass — sparse in real data —
+#   and those bounds are broadcast for a filtered second scan of the rows.
+
+
+def _salted_local(df: pd.DataFrame, range_size: int) -> pa.Table:
+    """Local violations + one '__summary' row per (conv_id, salt) range."""
+    df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+    parts = [
+        _dups_in_bucket(df),
+        _ts_order_in_bucket(df),
+    ]
+    # local contiguity: within a range only; range starts are checked
+    # against the previous range's summary, except the very first range of
+    # a conversation (salt == min salt is unknown here — the summary pass
+    # owns the start-at-0 check too, so suppress first-row checks locally)
+    conv = df["conv_id"].to_numpy()
+    got = df["turn_idx"].to_numpy()
+    n = len(got)
+    if n:
+        first = np.ones(n, dtype=bool)
+        first[1:] = conv[1:] != conv[:-1]
+        prv = np.empty_like(got)
+        prv[0] = 0
+        prv[1:] = got[:-1]
+        bad = (~first) & (got != prv + 1) & (got != prv)
+        pos = np.flatnonzero(bad)
+        if len(pos):
+            msgs = [f"turn_idx {got[p]} does not follow {prv[p]}" for p in pos]
+            parts.append(_violations_table(df.iloc[pos], "contiguity", msgs))
+    g = df.groupby("conv_id", sort=False).agg(
+        min_turn=("turn_idx", "min"),
+        max_turn=("turn_idx", "max"),
+        min_ts=("ts", "min"),
+        max_ts=("ts", "max"),
+    )
+    summary = pa.table(
+        {
+            "conv_id": pa.array(g.index.astype(str), pa.string()),
+            "turn_idx": pa.array(g["min_turn"].to_numpy(), pa.int32()),
+            "keyword": pa.array(["__summary"] * len(g), pa.string()),
+            "message": pa.array(
+                [
+                    f"{int(r.min_turn)}|{int(r.max_turn)}|{r.min_ts.value}|{r.max_ts.value}"
+                    for r in g.itertuples()
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    parts = [p for p in parts if p.num_rows > 0] + [summary]
+    return pa.concat_tables(parts)
+
+
+def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = None):
+    """Skew-proof uniqueItems + contiguity + order: shuffle keyed by
+    (conv_id, turn_idx // range_size), stitch with per-range summaries.
+
+    Returns the same violation-row schema/multiset as
+    :func:`conv_checks_violations` (modulo row order).
+    """
+    from .bucketing import pick_num_buckets
+
+    nb = pick_num_buckets(ds, num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        salt = (
+            t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            // range_size
+        )
+        h = pd.util.hash_array(conv.astype(object)) * np.uint64(1000003) ^ pd.util.hash_array(
+            salt
+        )
+        t = t.append_column("_salt", pa.array(salt.astype(np.int32)))
+        return t.append_column("_b", pa.array((h % nb).astype(np.int32)))
+
+    local = (
+        ds.select_columns(["conv_id", "turn_idx", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: _salted_local(
+                g.drop(columns=["_b", "_salt"]).assign(
+                    conv_id=g["conv_id"].astype(str) + "\x1f" + g["_salt"].astype(str)
+                ),
+                range_size,
+            ),
+            batch_format="pandas",
+        )
+    ).materialize()  # small: violations + 1 summary row per R turns
+
+    viol = local.filter(expr="keyword != '__summary'").map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": pc.list_element(pc.split_pattern(t["conv_id"], "\x1f"), 0),
+                "turn_idx": t["turn_idx"],
+                "keyword": t["keyword"],
+                "message": t["message"],
+            }
+        )
+        if t.num_rows
+        else EMPTY_VIOLATIONS,
+        batch_format="pyarrow",
+    )
+
+    # unpack summary rows into typed columns so the stitch shuffle can key
+    # on the BASE conversation id (every range of a conv in one group)
+    def unpack(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern(t["conv_id"], "\x1f")
+        vals = pc.split_pattern(t["message"], "|")
+        return pa.table(
+            {
+                "conv": pc.list_element(split, 0),
+                "salt": pc.list_element(split, 1).cast(pa.int64()),
+                "min_turn": pc.list_element(vals, 0).cast(pa.int64()),
+                "max_turn": pc.list_element(vals, 1).cast(pa.int64()),
+                "min_ts": pc.list_element(vals, 2).cast(pa.int64()),
+                "max_ts": pc.list_element(vals, 3).cast(pa.int64()),
+            }
+        )
+
+    # summary stitching: per conversation, ordered by salt
+    def stitch(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["conv", "salt"], kind="stable")
+        conv = df["conv"].to_numpy()
+        n = len(df)
+        first = np.ones(n, dtype=bool)
+        first[1:] = conv[1:] != conv[:-1]
+        min_turn = df["min_turn"].to_numpy()
+        max_turn = df["max_turn"].to_numpy()
+        prev_max_turn = np.empty_like(max_turn)
+        prev_max_turn[0] = 0
+        prev_max_turn[1:] = max_turn[:-1]
+        parts = []
+        # conversation start + cross-range contiguity
+        bad_first = first & (min_turn != 0)
+        bad_cross = (~first) & (min_turn != prev_max_turn + 1) & (min_turn != prev_max_turn)
+        bad = bad_first | bad_cross
+        pos = np.flatnonzero(bad)
+        if len(pos):
+            msgs = [
+                f"turn_idx {min_turn[p]} at conversation start: expected 0"
+                if first[p]
+                else f"turn_idx {min_turn[p]} does not follow {prev_max_turn[p]}"
+                for p in pos
+            ]
+            sub = pd.DataFrame(
+                {"conv_id": conv[pos], "turn_idx": min_turn[pos]}
+            )
+            parts.append(_violations_table(sub, "contiguity", msgs))
+        # ts bound per range: cummax of max_ts over earlier ranges of the conv
+        max_ts = df["max_ts"].to_numpy()
+        reset = np.flatnonzero(first)
+        bound = np.empty_like(max_ts)
+        for i, s in enumerate(reset):  # few resets per bucket: loop over convs
+            e = reset[i + 1] if i + 1 < len(reset) else n
+            seg = max_ts[s:e]
+            b = np.empty_like(seg)
+            b[0] = np.iinfo(np.int64).min
+            if len(seg) > 1:
+                b[1:] = np.maximum.accumulate(seg[:-1])
+            bound[s:e] = b
+        affected = bound > df["min_ts"].to_numpy()
+        ap = np.flatnonzero(affected)
+        fixups = pa.table(
+            {
+                "conv_id": pa.array(conv[ap], pa.string()),
+                "salt": pa.array(df["salt"].to_numpy()[ap], pa.int64()),
+                "bound": pa.array(bound[ap], pa.int64()),
+            }
+        )
+        out = parts[0] if parts else EMPTY_VIOLATIONS
+        if len(parts) > 1:
+            out = pa.concat_tables(parts)
+        # tag fixup rows so one return value carries both streams
+        fx = pa.table(
+            {
+                "conv_id": fixups["conv_id"],
+                "turn_idx": fixups["salt"].cast(pa.int32()),
+                "keyword": pa.array(["__fixup"] * fixups.num_rows, pa.string()),
+                "message": pa.array(
+                    [str(b) for b in fixups["bound"].to_pylist()], pa.string()
+                ),
+            }
+        )
+        return pa.concat_tables([out, fx]) if fx.num_rows else out
+
+    from .bucketing import bucketed_map_groups
+
+    summaries = local.filter(expr="keyword == '__summary'").map_batches(
+        unpack, batch_format="pyarrow"
+    )
+    stitched = bucketed_map_groups(summaries, ["conv"], stitch).materialize()
+    boundary_viol = stitched.filter(expr="keyword != '__fixup'")
+
+    fixups = stitched.filter(expr="keyword == '__fixup'").to_pandas()
+    parts = [viol, boundary_viol]
+    if len(fixups):
+        # Second scan over the rows of AFFECTED ranges only (sparse by
+        # assumption: a range needs fixup only when an earlier range's max
+        # ts exceeds its min ts).  The bound map is broadcast once
+        # (ray.put); a grouped pass re-derives each range's local prefix so
+        # rows the local pass already flagged are not emitted twice — the
+        # fixup emits exactly {ts < incoming_bound} \ {ts < local_prefix}.
+        import ray
+
+        bounds = {
+            (c, int(s)): int(m)
+            for c, s, m in zip(fixups["conv_id"], fixups["turn_idx"], fixups["message"])
+        }
+        bref = ray.put(bounds)
+
+        def keep_affected(t: pa.Table) -> pa.Table:
+            b = ray.get(bref)
+            conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            salt = (
+                t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+                // range_size
+            )
+            keep = np.fromiter(
+                ((conv[i], int(salt[i])) in b for i in range(len(conv))),
+                dtype=bool,
+                count=len(conv),
+            )
+            idx = pa.array(np.flatnonzero(keep).astype(np.int64))
+            out = t.take(idx)
+            return out.append_column(
+                "_salt", pa.array(salt[keep].astype(np.int64))
+            )
+
+        def fixup_bucket(df: pd.DataFrame) -> pa.Table:
+            b = ray.get(bref)
+            out = []
+            for (c, s), g in df.groupby(["conv_id", "_salt"], sort=False):
+                bound = pd.Timestamp(b[(c, int(s))])
+                g = g.sort_values("turn_idx", kind="stable")
+                per_turn_max = g.groupby("turn_idx")["ts"].max()
+                loc = g["turn_idx"].map(per_turn_max.cummax().shift(1))
+                emit = (g["ts"] < bound) & ~(g["ts"] < loc)
+                if emit.any():
+                    sub = g.loc[emit.to_numpy()]
+                    out.append(
+                        _violations_table(
+                            sub,
+                            "order",
+                            ["ts decreases within conversation"] * int(emit.sum()),
+                        )
+                    )
+            return pa.concat_tables(out) if out else EMPTY_VIOLATIONS
+
+        affected_rows = ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
+            keep_affected, batch_format="pyarrow"
+        )
+        parts.append(
+            bucketed_map_groups(affected_rows, ["conv_id", "_salt"], fixup_bucket)
+        )
+    out = parts[0]
+    if len(parts) > 1:
+        out = out.union(*parts[1:])
+    return out

@@ -108,3 +108,56 @@ def test_profile_matches_exact():
     assert abs(hll - exact[4]) / exact[4] < 0.05
     q = prof["turn_idx"]["quantiles"]
     assert q["0.5"] <= q["0.9"] <= q["0.99"]
+
+
+def test_conv_checks_salted_matches_bucketed():
+    """The skew-proof range-split variant must produce the identical
+    violation multiset as the conv-colocated variant — stressed with
+    range_size=4 so every conversation splits into many ranges."""
+    import ray.data as rd
+
+    from jsonschema_ray.sources.transcripts import transcripts_path
+    from jsonschema_ray.stages.checks import conv_checks_salted, conv_checks_violations
+
+    path = transcripts_path("/root/testdata/sf0.001")
+    cols = ["conv_id", "turn_idx", "keyword", "message"]
+    a = conv_checks_violations(rd.read_parquet(path)).to_pandas()[cols]
+    b = conv_checks_salted(rd.read_parquet(path), range_size=4).to_pandas()[cols]
+    sa = a.sort_values(cols).reset_index(drop=True)
+    sb = b.sort_values(cols).reset_index(drop=True)
+    assert sa.equals(sb)
+
+
+def test_conv_checks_salted_giant_conversation():
+    """A single conversation far larger than range_size: duplicates, a gap,
+    a start offset and out-of-order ts must all be found across range
+    boundaries."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.checks import conv_checks_salted
+
+    n = 5000
+    turns = list(range(1, n))  # starts at 1, not 0
+    turns.remove(2500)         # gap mid-conversation
+    turns.append(700)          # duplicate
+    ts = pd.to_datetime([i * 1000 for i in range(len(turns))], unit="us")
+    ts_list = list(ts)
+    # plant an out-of-order ts far from its range start
+    dfi = sorted(range(len(turns)), key=lambda i: turns[i])
+    low_pos = dfi[4000]
+    ts_list[low_pos] = pd.Timestamp(0)
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-giant"] * len(turns)),
+            "turn_idx": pa.array(turns, pa.int32()),
+            "ts": pa.array(ts_list, pa.timestamp("us")),
+        }
+    )
+    out = conv_checks_salted(rd.from_arrow(t), range_size=64).to_pandas()
+    kw = out.groupby("keyword").size().to_dict()
+    assert kw.get("uniqueItems", 0) == 1          # the duplicate turn 700
+    assert kw.get("contiguity", 0) == 2           # start-at-1 + the 2500 gap
+    assert kw.get("order", 0) >= 1                # planted low ts
+    assert (out[out["keyword"] == "uniqueItems"]["turn_idx"] == 700).all()
