@@ -95,6 +95,16 @@ def main() -> None:
     sec, _ = _timed(lambda: q.q_lineitem_pricing(SF_DIR).count())
     timings["lineitem_pricing"] = round(sec, 3)
 
+    # Training-data ops over documents/embeddings.
+    sec, _ = _timed(lambda: q.q_exact_dedup(SF_DIR).count())
+    timings["exact_dedup"] = round(sec, 3)
+    sec, _ = _timed(lambda: q.q_jaccard_pairs(SF_DIR).count())
+    timings["jaccard_pairs"] = round(sec, 3)
+    sec, _ = _timed(lambda: q.q_cosine_topk(SF_DIR).count())
+    timings["cosine_topk"] = round(sec, 3)
+    sec, _ = _timed(lambda: q.q_token_stats(SF_DIR).count())
+    timings["token_stats"] = round(sec, 3)
+
     result = {
         "metric": "transcript validation wall time (full check suite)",
         "value": round(headline_sec, 3),

@@ -52,31 +52,46 @@ def _tokenize(text: str) -> list[str]:
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "hash"):
-    """→ Dataset (doc_id_kept, n_copies) one row per distinct content."""
+    """→ Dataset (doc_id_kept, n_copies) one row per distinct content.
 
-    def add_hash(t: pa.Table) -> pa.Table:
-        h = _hash_str_array(t[text_col].to_pylist()).astype(np.int64)
-        return pa.table({id_col: t[id_col], "content_key": pa.array(h)})
+    Combiner discipline: each batch pre-aggregates to one (key, min_id,
+    count) partial per distinct content BEFORE the shuffle, so a content
+    value duplicated 10^9 times contributes one row per batch — the
+    exchange is skew-proof and moves at most (distinct-per-batch × batches)
+    rows, never the raw duplicates."""
 
-    if key == "hash":
-        keyed = ds.map_batches(add_hash, batch_format="pyarrow")
-        group_col = "content_key"
-    else:
-        keyed = ds.select_columns([id_col, text_col])
-        group_col = text_col
+    def partials(t: pa.Table) -> pa.Table:
+        if key == "hash":
+            k = _hash_str_array(t[text_col].to_pylist()).astype(np.int64)
+            df = pd.DataFrame(
+                {"content_key": k, id_col: t[id_col].to_numpy(zero_copy_only=False)}
+            )
+            group_col_ = "content_key"
+        else:
+            df = t.select([id_col, text_col]).to_pandas()
+            group_col_ = text_col
+        g = df.groupby(group_col_, sort=False)[id_col].agg(["min", "size"]).reset_index()
+        return pa.Table.from_pandas(
+            g.rename(columns={"min": "_min_id", "size": "_cnt"}), preserve_index=False
+        )
+
+    group_col = "content_key" if key == "hash" else text_col
 
     from .bucketing import bucketed_map_groups
 
-    def keep_first_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(group_col, sort=False)[id_col].agg(["min", "size"])
+    def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False).agg(
+            doc_id_kept=("_min_id", "min"), n_copies=("_cnt", "sum")
+        )
         return pd.DataFrame(
             {
-                "doc_id_kept": g["min"].to_numpy(np.int64),
-                "n_copies": g["size"].to_numpy(np.int64),
+                "doc_id_kept": g["doc_id_kept"].to_numpy(np.int64),
+                "n_copies": g["n_copies"].to_numpy(np.int64),
             }
         )
 
-    return bucketed_map_groups(keyed, [group_col], keep_first_bucket)
+    keyed = ds.map_batches(partials, batch_format="pyarrow")
+    return bucketed_map_groups(keyed, [group_col], combine_bucket)
 
 
 # -- shingles / exact Jaccard ------------------------------------------------
