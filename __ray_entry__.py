@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_distinct": q.q_hll_distinct,
         "q_drift_stats": q.q_drift_stats,
         "q_decode_features": q.q_decode_features,
+        "q_ivf_topk": q.q_ivf_topk,
     }
 
 

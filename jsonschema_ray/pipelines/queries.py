@@ -701,3 +701,15 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
 FROM read_parquet('{path}/*.parquet')
 GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 10
 """
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-partitioned approximate top-k (rows-only: recall is
+    probabilistic; pytest verifies it against the exact variant on planted
+    near-duplicates)."""
+    import ray.data as rd
+
+    from ..stages.ann import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, query_ids=list(range(5)), k=5, nlist=16, nprobe=4)

@@ -19,7 +19,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["attach_payload", "DecodeStage", "decode_features"]
+__all__ = [
+    "attach_payload",
+    "DecodeStage",
+    "decode_features",
+    "ResizeStage",
+    "resize",
+    "FrameSampleStage",
+    "frame_sample",
+]
 
 
 def attach_payload(ds, text_col="text", id_col="doc_id"):
@@ -102,4 +110,86 @@ def decode_features(ds, batch_size: int = 64, concurrency=(1, 4), mode: str = "f
         batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs=dict(mode=mode),
+    )
+
+
+class ResizeStage:
+    """Actor-pool resize: target geometry fixed per actor.
+
+    FAKE CODEC (gated like :class:`DecodeStage`): output payload is a
+    deterministic transform of the input bytes sized to the target area —
+    real binary-in/binary-out plumbing, so batch sizing, zero-copy Arrow
+    binary handling and output schema are all exercised."""
+
+    def __init__(self, width: int = 224, height: int = 224, id_col: str = "doc_id"):
+        self.w, self.h, self.id_col = width, height, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        target = self.w * self.h // 1024 + 8  # fake: bytes proportional to area
+        out = []
+        for p in t["payload"].to_pylist():
+            if not p:
+                out.append(b"")
+                continue
+            reps = target // len(p) + 1
+            out.append((p * reps)[:target])
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array(np.full(len(out), self.w, dtype=np.int32)),
+                "height": pa.array(np.full(len(out), self.h, dtype=np.int32)),
+            }
+        )
+
+
+def resize(ds, width: int = 224, height: int = 224, batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(
+        ResizeStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(width=width, height=height),
+    )
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampling: emit every ``stride``-th fixed-size
+    chunk of the payload as one frame row (``flat_map``-shaped: one input
+    row explodes to n_frames output rows).
+
+    FAKE CODEC: frames are byte slices, not decoded video — the explode
+    plumbing (row multiplication, frame_idx assignment, per-frame payload
+    column) is the real part."""
+
+    def __init__(self, frame_bytes: int = 256, stride: int = 4, id_col: str = "doc_id"):
+        self.frame_bytes, self.stride, self.id_col = frame_bytes, stride, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids_out, fidx_out, frames = [], [], []
+        for did, p in zip(t[self.id_col].to_pylist(), t["payload"].to_pylist()):
+            p = p or b""
+            n_chunks = max(1, len(p) // self.frame_bytes)
+            for j in range(0, n_chunks, self.stride):
+                ids_out.append(did)
+                fidx_out.append(j)
+                frames.append(p[j * self.frame_bytes : (j + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids_out),
+                "frame_idx": pa.array(np.asarray(fidx_out, dtype=np.int32)),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def frame_sample(ds, frame_bytes: int = 256, stride: int = 4, batch_size: int = 32, concurrency=(1, 4)):
+    return ds.map_batches(
+        FrameSampleStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(frame_bytes=frame_bytes, stride=stride),
     )

@@ -215,3 +215,59 @@ def test_embedding_dup_pairs_exact_vs_lsh():
     got_lsh = set(zip(approx["a"], approx["b"]))
     assert got_lsh <= got_exact  # LSH reports no false positives (verified sims)
     assert len(got_lsh & planted) / len(planted) >= 0.8  # high recall on near-identical
+
+
+def test_ivf_topk_recall_on_planted():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.ann import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((300, 64))
+    rows = [(i, base[i]) for i in range(300)]
+    planted: dict[int, set[int]] = {0: set(), 1: set(), 2: set()}
+    for qid in (0, 1, 2):
+        for _ in range(5):
+            dup_id = 1000 + len(rows)
+            rows.append((dup_id, base[qid] + 0.05 * rng.standard_normal(64)))
+            planted[qid].add(dup_id)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1].tolist() for r in rows], pa.list_(pa.float64())),
+            }
+        )
+    )
+    exact = cosine_topk(ds, query_ids=[0, 1, 2], k=5).to_pandas()
+    approx = ivf_topk(ds, query_ids=[0, 1, 2], k=5, nlist=8, nprobe=3).to_pandas()
+    e_hits = a_hits = 0
+    for qid in (0, 1, 2):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        e_hits += len(e & planted[qid])
+        a_hits += len(a & planted[qid])
+    assert e_hits == 15
+    # near-identical vectors share the query's centroid list: high recall
+    assert a_hits / 15 >= 0.8
+
+
+def test_resize_and_frame_sample_plumbing():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.multimodal import attach_payload, frame_sample, resize
+
+    ds = attach_payload(
+        rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["x" * 4000, "short"]}))
+    )
+    r = resize(ds, width=64, height=64).to_pandas()
+    assert (r["width"] == 64).all() and (r["height"] == 64).all()
+    assert r["payload"].map(len).nunique() == 1  # all resized to target size
+    f = frame_sample(ds, frame_bytes=256, stride=2).to_pandas()
+    # 4000-byte doc → 15 chunks → frames at idx 0,2,...,14; short doc → 1
+    assert len(f[f["doc_id"] == 1]) == 8
+    assert len(f[f["doc_id"] == 2]) == 1
+    assert (f[f["doc_id"] == 1]["frame_idx"].to_numpy() == np.arange(0, 15, 2)).all()
