@@ -28,6 +28,8 @@ __all__ = [
     "drift_profile",
     "drift_compare",
     "drift_violations",
+    "DriftScanner",
+    "drift_scan",
     "DEFAULT_DRIFT_FEATURES",
 ]
 
@@ -162,3 +164,55 @@ def drift_violations(
     from .checks import VIOLATION_PA_SCHEMA
 
     return pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA)
+
+
+class DriftScanner:
+    """Actor-pool stage: the baseline profile is fetched from the object
+    store ONCE per actor (``__init__``), then every batch is scored against
+    it — per-batch KS/chi-square give a streaming early-warning signal
+    while the exact global statistic still comes from the merged partials
+    (:func:`drift_profile` → :func:`drift_compare`).
+
+    The north-star shape: broadcast the small side with ``ray.put`` and
+    read it in actor state, never re-ship it per batch."""
+
+    def __init__(self, baseline_ref, features=None) -> None:
+        import ray
+
+        self.baseline = ray.get(baseline_ref)
+        self.features = features or DEFAULT_DRIFT_FEATURES
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        partial = _DriftPartial(self.features)(batch)
+        counts = pickle.loads(partial["partial"][0].as_py())
+        stats = drift_compare(self.baseline, counts, self.features)
+        rows = []
+        for col, st in sorted(stats.items()):
+            for name, v in sorted(st.items()):
+                rows.append({"feature": col, "stat": name, "value": float(v), "n_rows": batch.num_rows})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("feature", pa.string()),
+                    ("stat", pa.string()),
+                    ("value", pa.float64()),
+                    ("n_rows", pa.int64()),
+                ]
+            ),
+        )
+
+
+def drift_scan(ds, baseline: dict, features=None, concurrency=(1, 4), batch_size: int = 65536):
+    """Per-batch drift statistics vs a broadcast baseline (actor pool)."""
+    import ray
+
+    bref = ray.put(baseline)
+    return ds.map_batches(
+        DriftScanner,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(baseline_ref=bref, features=features),
+    )

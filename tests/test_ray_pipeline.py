@@ -161,3 +161,26 @@ def test_conv_checks_salted_giant_conversation():
     assert kw.get("contiguity", 0) == 2           # start-at-1 + the 2500 gap
     assert kw.get("order", 0) >= 1                # planted low ts
     assert (out[out["keyword"] == "uniqueItems"]["turn_idx"] == 700).all()
+
+
+def test_drift_scan_actor_pool_flags_drifted_variant():
+    """Per-batch drift scan: the baseline lives in actor state (broadcast
+    once); the drifted variant must score visibly higher than the clean one
+    on at least one feature."""
+    import ray.data as rd
+
+    from jsonschema_ray.sources.transcripts import transcripts_path
+    from jsonschema_ray.stages.drift import drift_profile, drift_scan
+
+    sf = "/root/testdata/sf0.001"
+    baseline = drift_profile(rd.read_parquet(transcripts_path(sf, "clean")))
+    clean = drift_scan(
+        rd.read_parquet(transcripts_path(sf, "clean")), baseline, batch_size=2048
+    ).to_pandas()
+    drifted = drift_scan(
+        rd.read_parquet(transcripts_path(sf, "drift")), baseline, batch_size=2048
+    ).to_pandas()
+    assert set(clean["feature"]) == {"role", "tool", "text_len", "turn_idx"}
+    ks_clean = clean[clean["stat"] == "ks"]["value"].mean()
+    ks_drift = drifted[drifted["stat"] == "ks"]["value"].mean()
+    assert ks_drift > ks_clean * 2  # drifted variant stands out per batch
