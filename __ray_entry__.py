@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_drift_stats": q.q_drift_stats,
         "q_decode_features": q.q_decode_features,
         "q_ivf_topk": q.q_ivf_topk,
+        "q_conformance": q.q_conformance,
     }
 
 

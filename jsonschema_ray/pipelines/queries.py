@@ -713,3 +713,12 @@ def q_ivf_topk(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ivf_topk(ds, query_ids=list(range(5)), k=5, nlist=16, nprobe=4)
+
+
+def q_conformance(sf_dir: str):
+    """The reference's own Draft-4 conformance corpus validated as a
+    distributed table (rows-only: the oracle is the suite's expect_valid
+    column, asserted in-pipeline and in pytest)."""
+    from ..sources.suite import suite_dataset, validate_suite
+
+    return validate_suite(suite_dataset())

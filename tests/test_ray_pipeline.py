@@ -184,3 +184,17 @@ def test_drift_scan_actor_pool_flags_drifted_variant():
     ks_clean = clean[clean["stat"] == "ks"]["value"].mean()
     ks_drift = drifted[drifted["stat"] == "ks"]["value"].mean()
     assert ks_drift > ks_clean * 2  # drifted variant stands out per batch
+
+
+def test_conformance_suite_as_distributed_table():
+    """Every suite case (minus format/refRemote) must match the expected
+    verdict when validated as a Ray table — the distributed twin of
+    test_core_suite."""
+    from jsonschema_ray.sources.suite import suite_dataset, validate_suite
+
+    out = validate_suite(suite_dataset()).to_pandas()
+    assert len(out) > 500  # 557 suite cases minus skips, plus custom
+    mismatches = out[~out["match"]]
+    assert mismatches.empty, mismatches.head(10).to_string()
+    # invalid cases must carry a violation message
+    assert (out[~out["expect_valid"]]["message"] != "").all()
