@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cosine_topk": q.q_cosine_topk,
         "q_embedding_dups": q.q_embedding_dups,
         "q_top_convs": q.q_top_convs,
+        "q_event_windows": q.q_event_windows,
+        "q_sessions": q.q_sessions,
         # rows-only (non-SQL-expressible; pytest holds their oracles)
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_simhash": q.q_simhash,
@@ -97,4 +99,6 @@ def oracle_sql() -> dict[str, str]:
         "q_cosine_topk": q.COSINE_TOPK_SQL,
         "q_embedding_dups": q.EMBEDDING_DUPS_SQL,
         "q_top_convs": q.top_convs_sql(path),
+        "q_event_windows": q.EVENT_WINDOWS_SQL,
+        "q_sessions": q.SESSIONS_SQL,
     }

@@ -722,3 +722,55 @@ def q_conformance(sf_dir: str):
     from ..sources.suite import suite_dataset, validate_suite
 
     return validate_suite(suite_dataset())
+
+
+def q_event_windows(sf_dir: str):
+    """Tumbling 1-hour windows per event type (combiner before shuffle)."""
+    import ray.data as rd
+
+    from ..stages.events import windowed_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return windowed_agg(ds)
+
+
+EVENT_WINDOWS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization (30-minute inactivity splits a session)."""
+    import ray.data as rd
+
+    from ..stages.events import sessionize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return sessionize(ds, gap_minutes=30)
+
+
+SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
