@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_convs": q.q_top_convs,
         "q_event_windows": q.q_event_windows,
         "q_sessions": q.q_sessions,
+        "q_asof_click": q.q_asof_click,
+        "q_range_windows": q.q_range_windows,
         # rows-only (non-SQL-expressible; pytest holds their oracles)
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_simhash": q.q_simhash,
@@ -101,4 +103,6 @@ def oracle_sql() -> dict[str, str]:
         "q_top_convs": q.top_convs_sql(path),
         "q_event_windows": q.EVENT_WINDOWS_SQL,
         "q_sessions": q.SESSIONS_SQL,
+        "q_asof_click": q.ASOF_CLICK_SQL,
+        "q_range_windows": q.RANGE_WINDOWS_SQL,
     }

@@ -774,3 +774,84 @@ SELECT user_id, MIN(ts) AS session_start,
        ROUND(SUM(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid
 """
+
+
+def q_asof_click(sf_dir: str):
+    """As-of join: each error event ← the user's most recent prior click."""
+    import ray.data as rd
+
+    from ..stages.joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    errors = ev.filter(expr="event_type == 'error'").drop_columns(["event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    out = asof_join(
+        errors,
+        clicks,
+        by="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "click_id": t["event_id_right"].cast(pa.int64()),
+                "click_ts": t["ts_right"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ASOF_CLICK_SQL = """
+WITH e AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, e.ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND c.ts < e.ts
+"""
+
+
+def q_range_windows(sf_dir: str):
+    """Broadcast range join: events → non-overlapping 6-hour windows."""
+    import ray.data as rd
+
+    from ..stages.joins import range_join_broadcast
+
+    start = pd.Timestamp("2024-01-01")
+    iv = pd.DataFrame(
+        {
+            "w_lo": [start + pd.Timedelta(hours=6 * k) for k in range(124)],
+            "w_hi": [start + pd.Timedelta(hours=6 * (k + 1)) for k in range(124)],
+            "window_id": np.arange(124, dtype=np.int64),
+        }
+    )
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    joined = range_join_broadcast(
+        ds, iv, on="ts", lo_col="w_lo", hi_col="w_hi", tag_cols=["window_id"]
+    )
+    counts = joined.groupby("window_id").count()
+    return counts.map_batches(
+        lambda t: pa.table(
+            {"window_id": t["window_id"], "n_events": t["count()"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+RANGE_WINDOWS_SQL = """
+WITH iv AS (
+  SELECT CAST(k AS BIGINT) AS window_id,
+         TIMESTAMP '2024-01-01' + INTERVAL 6 HOUR * k AS w_lo,
+         TIMESTAMP '2024-01-01' + INTERVAL 6 HOUR * (k + 1) AS w_hi
+  FROM UNNEST(generate_series(0, 123)) AS t(k))
+SELECT iv.window_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN iv ON e.ts >= iv.w_lo AND e.ts < iv.w_hi
+GROUP BY iv.window_id
+"""

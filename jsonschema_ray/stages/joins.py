@@ -1,0 +1,130 @@
+"""Join operators Ray Data lacks natively: as-of and range joins.
+
+Both follow the engine's shuffle discipline:
+
+* :func:`asof_join` — "most recent right row at or before the left row's
+  time, per key".  Left and right are hash-bucketed on the key (one
+  shuffle each, same bucket space so buckets align); inside a bucket
+  ``pandas.merge_asof(by=key)`` resolves every key-group vectorized.
+  Partitioning assumption: a single key's rows fit one bucket — the same
+  co-location bound as any keyed join; salt by time range if a key is
+  degenerate (cf. checks.conv_checks_salted).
+* :func:`range_join_broadcast` — non-equi join against a SMALL interval
+  table: intervals are broadcast once (``ray.put``), each batch resolves
+  membership with one ``np.searchsorted`` — no shuffle at all.  Right for
+  calendar windows, config epochs, deployment ranges; a large interval
+  side would need an interval-partitioned shuffle instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bucketing import pick_num_buckets
+
+__all__ = ["asof_join", "range_join_broadcast"]
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by: str,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    direction: str = "backward",
+    allow_exact_matches: bool = False,
+    suffix: str = "_right",
+):
+    """→ Dataset: left rows + matched right columns (null when no match).
+
+    One aligned shuffle: both sides are null-padded to a common column set
+    and unioned, so a single hash exchange on ``by`` co-locates each key's
+    left and right rows."""
+    nb = pick_num_buckets(left_ds, None)
+    all_cols = [by, on, *left_cols, *right_cols]
+
+    type_of: dict[str, pa.DataType] = {}
+    for sch in (left_ds.schema(), right_ds.schema()):
+        for n, t in zip(sch.names, sch.types):
+            type_of.setdefault(n, t)
+
+    def tag(side: str, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t[by].combine_chunks().to_numpy(zero_copy_only=False)
+            b = (pd.util.hash_array(key) % nb).astype(np.int32)
+            cols = {}
+            for c in all_cols:
+                if c in (by, on) or c in own:
+                    cols[c] = t[c]
+                else:
+                    cols[c] = pa.nulls(t.num_rows, type_of[c])
+            cols["_b"] = pa.array(b)
+            cols["_side"] = pa.array([side] * t.num_rows, pa.string())
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(tag("L", left_cols), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("R", right_cols), batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == "L"][[by, on, *left_cols]].sort_values(
+            on, kind="stable"
+        )
+        right = df[df["_side"] == "R"][[by, on, *right_cols]].dropna(
+            subset=[on]
+        ).sort_values(on, kind="stable")
+        renames = {on: f"{on}{suffix}", **{c: f"{c}{suffix}" for c in right_cols}}
+        if left.empty:
+            for c in renames.values():
+                left[c] = pd.Series(dtype=object)
+            return left
+        return pd.merge_asof(
+            left,
+            right.rename(columns=renames),
+            left_on=on,
+            right_on=f"{on}{suffix}",
+            by=by,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+        )
+
+    return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
+
+
+def range_join_broadcast(ds, intervals: pd.DataFrame, on: str, lo_col: str, hi_col: str, tag_cols: list[str]):
+    """Join each row to the interval containing ``on`` (lo <= v < hi).
+
+    ``intervals`` must be non-overlapping and sorted by ``lo_col``; rows
+    falling in no interval are dropped (inner join semantics)."""
+    import ray
+
+    iv = intervals.sort_values(lo_col).reset_index(drop=True)
+    ref = ray.put(
+        {
+            "lo": iv[lo_col].to_numpy(),
+            "hi": iv[hi_col].to_numpy(),
+            "tags": {c: iv[c].to_numpy() for c in tag_cols},
+        }
+    )
+
+    class RangeJoin:
+        def __init__(self) -> None:
+            side = ray.get(ref)
+            self.lo, self.hi, self.tags = side["lo"], side["hi"], side["tags"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t[on].combine_chunks().to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.lo, v, side="right") - 1
+            ok = (idx >= 0) & (v < self.hi[np.clip(idx, 0, None)])
+            keep = np.flatnonzero(ok)
+            out = t.take(pa.array(keep.astype(np.int64)))
+            for c, vals in self.tags.items():
+                out = out.append_column(c, pa.array(vals[idx[keep]]))
+            return out
+
+    return ds.map_batches(RangeJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))

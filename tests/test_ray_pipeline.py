@@ -198,3 +198,40 @@ def test_conformance_suite_as_distributed_table():
     assert mismatches.empty, mismatches.head(10).to_string()
     # invalid cases must carry a violation message
     assert (out[~out["expect_valid"]]["message"] != "").all()
+
+
+def test_asof_join_semantics():
+    """Left rows with no prior right row get nulls; matches are the most
+    recent strictly-earlier right row per key."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.joins import asof_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 2],
+                "t": pa.array(pd.to_datetime([100, 200, 50], unit="s"), pa.timestamp("us")),
+                "lid": [10, 11, 12],
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": [1, 1, 2],
+                "t": pa.array(pd.to_datetime([90, 150, 60], unit="s"), pa.timestamp("us")),
+                "rid": [20, 21, 22],
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, by="k", on="t", left_cols=["lid"], right_cols=["rid"])
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert list(out["lid"]) == [10, 11, 12]
+    assert list(out["rid_right"].fillna(-1).astype(int)) == [20, 21, -1]
