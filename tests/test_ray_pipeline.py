@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -235,3 +236,27 @@ def test_asof_join_semantics():
     )
     assert list(out["lid"]) == [10, 11, 12]
     assert list(out["rid_right"].fillna(-1).astype(int)) == [20, 21, -1]
+
+
+def test_resumable_rerun_only_stale_shard(tmp_path):
+    """A shard whose manifest fingerprint no longer matches re-runs alone;
+    fresh shards stay skipped."""
+    import json
+
+    from jsonschema_ray.sources.transcripts import transcripts_path
+    from jsonschema_ray.state import run_resumable
+
+    out = str(tmp_path / "out")
+    s1 = run_resumable(transcripts_path(SF001), out, shard_size=1)
+    assert s1["shards_total"] >= 1
+    man = os.path.join(out, "shards", "shard=00000", "MANIFEST.json")
+    with open(man) as f:
+        m = json.load(f)
+    m["fingerprint"] = "stale"
+    with open(man, "w") as f:
+        json.dump(m, f)
+    s2 = run_resumable(transcripts_path(SF001), out, shard_size=1)
+    assert s2["shards_run"] == 1
+    assert s2["shards_skipped"] == s1["shards_total"] - 1
+    assert s2["row_violations"] == s1["row_violations"]
+    shutil.rmtree(out)
