@@ -108,23 +108,44 @@ def _doc_shingles(text: str, n: int) -> np.ndarray:
     return np.unique(pd.util.hash_array(np.asarray(shingles, dtype=object)))
 
 
+def _batch_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' deduped shingle hashes in one pass: ONE hash_array call for
+    the whole batch, per-segment dedup via lexsort.  → (hashes, seg_ids),
+    segment-sorted (all of doc i's shingles contiguous)."""
+    all_sh: list[str] = []
+    seg: list[int] = []
+    for i, text in enumerate(texts):
+        toks = (text or "").split()
+        if len(toks) < n:
+            sh = [" ".join(toks)] if toks else []
+        else:
+            sh = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        all_sh.extend(sh)
+        seg.extend([i] * len(sh))
+    if not all_sh:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    h = pd.util.hash_array(np.asarray(all_sh, dtype=object))
+    s = np.asarray(seg, dtype=np.int64)
+    order = np.lexsort((h, s))
+    hs, ss = h[order], s[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+    return hs[keep], ss[keep]
+
+
 def shingle_rows(ds, text_col="text", id_col="doc_id", n: int = 3):
     """Explode docs → (shingle, doc_id, n_shingles) rows (the only shuffled
     payload: 16 bytes per shingle)."""
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, shs, sizes = [], [], []
-        for did, text in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            sh = _doc_shingles(text or "", n)
-            ids.extend([did] * len(sh))
-            sizes.extend([len(sh)] * len(sh))
-            shs.append(sh)
-        flat = np.concatenate(shs) if shs else np.empty(0, dtype=np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h, seg = _batch_shingles(t[text_col].to_pylist(), n)
+        counts = np.bincount(seg, minlength=t.num_rows) if len(seg) else np.zeros(t.num_rows, np.int64)
         return pa.table(
             {
-                "shingle": pa.array(flat.astype(np.int64)),
-                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
-                "n_sh": pa.array(np.asarray(sizes, dtype=np.int64)),
+                "shingle": pa.array(h.astype(np.int64)),
+                "doc_id": pa.array(ids[seg].astype(np.int64)),
+                "n_sh": pa.array(counts[seg].astype(np.int64)),
             }
         )
 
@@ -237,17 +258,52 @@ class MinHasher:
         prod = np.where(prod >= _MERSENNE, prod - _MERSENNE, prod)
         return prod.min(axis=0)
 
+    _CHUNK = 16  # perms per pass: work matrix stays ~32MB at 250k shingles
+
+    def _bufs(self, n: int):
+        # First-touch page faults on fresh large buffers are pathologically
+        # slow on some hosts; an actor reuses these across batches so only
+        # the very first batch pays.
+        b = getattr(self, "_buf", None)
+        if b is None or b[0].shape[0] < n:
+            self._buf = b = (
+                np.empty((n, self._CHUNK), np.uint64),
+                np.empty((n, self._CHUNK), np.uint64),
+                np.empty((n, self._CHUNK), bool),
+            )
+        return b[0][:n], b[1][:n], b[2][:n]
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        sigs, ids = [], []
-        for did, text in zip(t[self.id_col].to_pylist(), t[self.text_col].to_pylist()):
-            sh = _doc_shingles(text or "", self.n)
-            sigs.append(self.signature(sh))
-            ids.append(did)
-        m = np.vstack(sigs) if sigs else np.empty((0, self.k), dtype=np.uint64)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        n_docs = t.num_rows
+        h, seg = _batch_shingles(t[self.text_col].to_pylist(), self.n)
+        sig = np.full((n_docs, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(h):
+            counts = np.bincount(seg, minlength=n_docs)
+            starts_all = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            nonempty = counts > 0
+            starts = starts_all[nonempty]
+            hcol = h[:, None]
+            for c0 in range(0, self.k, self._CHUNK):
+                a = self.a[c0 : c0 + self._CHUNK]
+                b = self.b[c0 : c0 + self._CHUNK]
+                prod, tmp, mask = self._bufs(len(h))
+                prod, tmp, mask = prod[:, : len(a)], tmp[:, : len(a)], mask[:, : len(a)]
+                np.multiply(hcol, a[None, :], out=prod)
+                np.add(prod, b[None, :], out=prod)
+                np.bitwise_and(prod, _MERSENNE, out=tmp)
+                np.right_shift(prod, np.uint64(61), out=prod)
+                np.add(tmp, prod, out=prod)
+                np.greater_equal(prod, _MERSENNE, out=mask)
+                np.subtract(prod, _MERSENNE, out=tmp)
+                np.copyto(prod, tmp, where=mask)
+                sig[nonempty, c0 : c0 + self._CHUNK] = np.minimum.reduceat(
+                    prod, starts, axis=0
+                )
         return pa.table(
             {
-                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
-                "sig": pa.array(list(m.astype(np.int64))),
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "sig": pa.array(list(sig.astype(np.int64))),
             }
         )
 
@@ -373,24 +429,42 @@ def minhash_lsh_pairs(
 
 
 def simhash64(ds, text_col="text", id_col="doc_id"):
-    """→ Dataset (doc_id, simhash int64): 64-bit sign-sum over word hashes."""
+    """→ Dataset (doc_id, simhash int64): 64-bit sign-sum over word hashes.
+
+    Vectorized across the whole batch: one hash_array call for every token,
+    then per bit a 1-D ``np.add.reduceat`` over document segments — no
+    (tokens × 64) matrix, no per-document Python."""
 
     def compute(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        out = np.zeros(len(ids), dtype=np.uint64)
+        n = t.num_rows
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        all_toks: list[str] = []
+        seg: list[int] = []
         for i, text in enumerate(t[text_col].to_pylist()):
-            toks = _tokenize(text or "")
-            if not toks:
-                continue
-            h = pd.util.hash_array(np.asarray(toks, dtype=object))
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            score = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((score > 0)[::-1]).view(">u8")[0]
+            tk = _tokenize(text or "")
+            all_toks.extend(tk)
+            seg.extend([i] * len(tk))
+        out = np.zeros(n, dtype=np.uint64)
+        if all_toks:
+            h = pd.util.hash_array(np.asarray(all_toks, dtype=object))
+            sg = np.asarray(seg, dtype=np.int64)
+            counts = np.bincount(sg, minlength=n)
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            nonempty = counts > 0
+            st = starts[nonempty]
+            cnt_ne = counts[nonempty].astype(np.int64)
+            tmp = np.empty(len(h), np.uint64)
+            sim_ne = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+            for b in range(64):
+                np.right_shift(h, np.uint64(b), out=tmp)
+                np.bitwise_and(tmp, np.uint64(1), out=tmp)
+                ones = np.add.reduceat(tmp, st).astype(np.int64)
+                score = 2 * ones - cnt_ne  # (+1 per set bit, -1 per clear)
+                sim_ne |= (score > 0).astype(np.uint64) << np.uint64(b)
+            out[nonempty] = sim_ne
         return pa.table(
             {
-                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "doc_id": pa.array(ids.astype(np.int64)),
                 "simhash": pa.array(out.astype(np.int64)),
             }
         )

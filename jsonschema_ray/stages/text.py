@@ -62,27 +62,35 @@ def token_stats(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def _exploded_tokens(t: pa.Table, text_col: str):
+    """(token Series indexed by row position, n_tokens per row) — one
+    str.split + explode for the whole batch, no per-document Python."""
+    s = pd.Series(t[text_col].to_pylist()).fillna("")
+    tok = s.str.split()
+    n_tok = tok.str.len().to_numpy().astype(np.int64)
+    ex = tok.explode().dropna()
+    return ex, n_tok
+
+
 def quality_scores(ds, text_col="text", id_col="doc_id", stopwords=STOPWORDS):
-    stop = set(stopwords)
+    stop = frozenset(stopwords)
 
     def score(t: pa.Table) -> pa.Table:
-        ids = t[id_col]
-        texts = t[text_col].to_pylist()
-        n_tok = np.zeros(len(texts), dtype=np.int64)
-        stop_ratio = np.zeros(len(texts))
-        mean_len = np.zeros(len(texts))
-        for i, s in enumerate(texts):
-            toks = (s or "").split()
-            n_tok[i] = len(toks)
-            if toks:
-                stop_ratio[i] = sum(w in stop for w in toks) / len(toks)
-                mean_len[i] = sum(len(w) for w in toks) / len(toks)
+        ex, n_tok = _exploded_tokens(t, text_col)
+        idx = ex.index.to_numpy().astype(np.int64)
+        n = t.num_rows
+        sum_stop = np.bincount(idx, weights=ex.isin(stop).to_numpy(), minlength=n)
+        sum_len = np.bincount(
+            idx, weights=ex.str.len().to_numpy().astype(np.float64), minlength=n
+        )
+        denom = np.maximum(n_tok, 1).astype(np.float64)
+        has = n_tok > 0
         return pa.table(
             {
-                id_col: ids,
+                id_col: t[id_col],
                 "n_tokens": pa.array(n_tok),
-                "stop_ratio": pa.array(np.round(stop_ratio, 6)),
-                "mean_token_len": pa.array(np.round(mean_len, 6)),
+                "stop_ratio": pa.array(np.round(np.where(has, sum_stop / denom, 0.0), 6)),
+                "mean_token_len": pa.array(np.round(np.where(has, sum_len / denom, 0.0), 6)),
             }
         )
 
@@ -100,22 +108,24 @@ class LangId:
         self.langs = sorted(self.markers)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        out = []
-        for s in texts:
-            toks = (s or "").split()
-            scores = {
-                lang: sum(w in words for w in toks)
-                for lang, words in self.markers.items()
-            }
-            # deterministic argmax: highest score, alphabetical tie-break
-            best = max(self.langs, key=lambda lg: (scores[lg], ), default="und")
-            best = sorted(self.langs, key=lambda lg: (-scores[lg], lg))[0]
-            out.append(best if scores[best] > 0 else "und")
+        ex, _ = _exploded_tokens(t, self.text_col)
+        idx = ex.index.to_numpy().astype(np.int64)
+        n = t.num_rows
+        # (rows × langs) marker-hit matrix via one isin + bincount per lang
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            hits = ex.isin(self.markers[lang]).to_numpy()
+            scores[:, j] = np.bincount(idx, weights=hits, minlength=n)
+        # deterministic argmax: highest score, alphabetical tie-break
+        # (langs sorted ⇒ np.argmax's first-max IS the alphabetical winner)
+        best = np.argmax(scores, axis=1)
+        top = scores[np.arange(n), best]
+        langs = np.asarray(self.langs, dtype=object)
+        out = np.where(top > 0, langs[best], "und")
         return pa.table(
             {
                 self.id_col: t[self.id_col],
-                "lang_pred": pa.array(out, pa.string()),
+                "lang_pred": pa.array(out.astype(object), pa.string()),
             }
         )
 
@@ -133,6 +143,11 @@ _RK_BASE = np.uint64(1099511628211)
 def fingerprints(ds, text_col="text", id_col="doc_id", window: int = 16):
     """64-bit rolling-hash document fingerprints (full-doc + min-window)."""
 
+    # B is odd, hence invertible mod 2^64: window hashes become a fully
+    # vectorized prefix-sum difference instead of a per-character loop —
+    # H(j) = (pref[j+w] - pref[j]) * B^(j+w-1) where pref[j] = Σ cps[k]·B^(-k)
+    binv = np.uint64(pow(int(_RK_BASE), -1, 1 << 64))
+
     def fp(t: pa.Table) -> pa.Table:
         np.seterr(over="ignore")  # uint64 wraparound IS the mod-2^64 hash
         texts = t[text_col].to_pylist()
@@ -142,28 +157,25 @@ def fingerprints(ds, text_col="text", id_col="doc_id", window: int = 16):
             cps = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(
                 np.uint64
             )
-            if len(cps) == 0:
+            n = len(cps)
+            if n == 0:
                 continue
-            h = np.uint64(0)
-            # full-document Rabin–Karp (mod 2^64 by overflow)
-            powers = np.ones(len(cps), dtype=np.uint64)
-            np.multiply.accumulate(
-                np.full(len(cps) - 1, _RK_BASE, dtype=np.uint64),
-                out=powers[1:],
-            ) if len(cps) > 1 else None
-            full[i] = np.sum(cps[::-1] * powers, dtype=np.uint64)
-            if len(cps) >= window:
-                # window hashes via prefix trick
-                w_hashes = np.zeros(len(cps) - window + 1, dtype=np.uint64)
-                cur = np.uint64(0)
-                top = powers[window - 1]
-                for j in range(window):
-                    cur = cur * _RK_BASE + cps[j]
-                w_hashes[0] = cur
-                for j in range(1, len(w_hashes)):
-                    cur = (cur - cps[j - 1] * top) * _RK_BASE + cps[j + window - 1]
-                    w_hashes[j] = cur
-                minw[i] = w_hashes.min()
+            pow_b = np.ones(n, dtype=np.uint64)
+            pow_inv = np.ones(n, dtype=np.uint64)
+            if n > 1:
+                np.multiply.accumulate(
+                    np.full(n - 1, _RK_BASE, dtype=np.uint64), out=pow_b[1:]
+                )
+                np.multiply.accumulate(
+                    np.full(n - 1, binv, dtype=np.uint64), out=pow_inv[1:]
+                )
+            pref = np.empty(n + 1, dtype=np.uint64)
+            pref[0] = 0
+            np.cumsum(cps * pow_inv, out=pref[1:])
+            full[i] = pref[n] * pow_b[n - 1]
+            if n >= window:
+                wins = (pref[window:] - pref[: n - window + 1]) * pow_b[window - 1 :]
+                minw[i] = wins.min()
             else:
                 minw[i] = full[i]
         return pa.table(
