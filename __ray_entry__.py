@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessions": q.q_sessions,
         "q_asof_click": q.q_asof_click,
         "q_range_windows": q.q_range_windows,
+        "q_priority_revenue": q.q_priority_revenue,
+        "q_no_big_purchase": q.q_no_big_purchase,
         # rows-only (non-SQL-expressible; pytest holds their oracles)
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_simhash": q.q_simhash,
@@ -105,4 +107,6 @@ def oracle_sql() -> dict[str, str]:
         "q_sessions": q.SESSIONS_SQL,
         "q_asof_click": q.ASOF_CLICK_SQL,
         "q_range_windows": q.RANGE_WINDOWS_SQL,
+        "q_priority_revenue": q.PRIORITY_REVENUE_SQL,
+        "q_no_big_purchase": q.NO_BIG_PURCHASE_SQL,
     }

@@ -855,3 +855,92 @@ SELECT iv.window_id, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events e JOIN iv ON e.ts >= iv.w_lo AND e.ts < iv.w_hi
 GROUP BY iv.window_id
 """
+
+
+def q_priority_revenue(sf_dir: str):
+    """Big-big shuffle hash join (orders ⋈ lineitem on orderkey) →
+    revenue per order priority."""
+    import ray.data as rd
+
+    from ..stages.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        orders, li, on="o_orderkey",
+        left_cols=["o_orderpriority"], right_cols=["l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("o_orderpriority", sort=False)["l_extendedprice"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        return g.rename(columns={"sum": "_s", "size": "_n"})
+
+    agg = joined.map_batches(partial, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("o_orderpriority", sort=False)
+            .agg(revenue=("_s", "sum"), n_items=("_n", "sum"))
+            .reset_index()
+        )
+        g["revenue"] = g["revenue"].round(2)
+        g["n_items"] = g["n_items"].astype(np.int64)
+        return g
+
+    from ..stages.bucketing import bucketed_map_groups
+
+    return bucketed_map_groups(agg, ["o_orderpriority"], final)
+
+
+PRIORITY_REVENUE_SQL = """
+SELECT o.o_orderpriority,
+       ROUND(SUM(l.l_extendedprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_no_big_purchase(sf_dir: str):
+    """Anti-join (distributed set difference): users with no purchase of
+    value ≥ 99."""
+    import ray.data as rd
+
+    from ..stages.joins import hash_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    users = (
+        ev.select_columns(["user_id"])
+        .map_batches(
+            lambda t: pa.table({"user_id": t["user_id"].combine_chunks().unique()}),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .count()
+        .select_columns(["user_id"])
+    )
+    big = ev.filter(expr="event_type == 'purchase' and value >= 99").select_columns(
+        ["user_id"]
+    )
+    return hash_join(users, big, on="user_id", left_cols=[], right_cols=[], how="anti")
+
+
+NO_BIG_PURCHASE_SQL = """
+SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+WHERE NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.user_id = u.user_id
+                    AND e.event_type = 'purchase' AND e.value >= 99)
+"""

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .bucketing import pick_num_buckets
 
-__all__ = ["asof_join", "range_join_broadcast"]
+__all__ = ["asof_join", "range_join_broadcast", "hash_join"]
 
 
 def asof_join(
@@ -128,3 +128,61 @@ def range_join_broadcast(ds, intervals: pd.DataFrame, on: str, lo_col: str, hi_c
             return out
 
     return ds.map_batches(RangeJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "inner",
+):
+    """Big-big equi-join via ONE aligned hash exchange (``how``: inner,
+    semi, anti).  Both sides are null-padded to a common column set and
+    unioned so a single shuffle on the key co-locates matching rows; each
+    bucket resolves with a pandas merge / key-membership test.
+
+    Broadcast the small side instead (cf. queries.q_segment_revenue) when
+    one side fits the object store — this operator is for two large sides.
+    Skewed keys: a hot key lands whole in one bucket; pre-aggregate or salt
+    (split the hot key's right side and replicate the left) before joining.
+    """
+    nb = pick_num_buckets(left_ds, None)
+    all_cols = [on, *left_cols, *right_cols]
+
+    type_of: dict[str, pa.DataType] = {}
+    for sch in (left_ds.schema(), right_ds.schema()):
+        for n, t in zip(sch.names, sch.types):
+            type_of.setdefault(n, t)
+
+    def tag(side: str, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t[on].combine_chunks().to_numpy(zero_copy_only=False)
+            b = (pd.util.hash_array(key) % nb).astype(np.int32)
+            cols = {}
+            for c in all_cols:
+                if c == on or c in own:
+                    cols[c] = t[c]
+                else:
+                    cols[c] = pa.nulls(t.num_rows, type_of[c])
+            cols["_b"] = pa.array(b)
+            cols["_side"] = pa.array([side] * t.num_rows, pa.string())
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(tag("L", left_cols), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("R", right_cols), batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == "L"][[on, *left_cols]]
+        right = df[df["_side"] == "R"][[on, *right_cols]]
+        if how == "inner":
+            return left.merge(right, on=on, how="inner")
+        keys = set(right[on].to_numpy())
+        mask = left[on].isin(keys).to_numpy()
+        return left[mask] if how == "semi" else left[~mask]
+
+    return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
