@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_windows": q.q_range_windows,
         "q_priority_revenue": q.q_priority_revenue,
         "q_no_big_purchase": q.q_no_big_purchase,
+        "q_top_events": q.q_top_events,
         # rows-only (non-SQL-expressible; pytest holds their oracles)
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_simhash": q.q_simhash,
@@ -109,4 +110,5 @@ def oracle_sql() -> dict[str, str]:
         "q_range_windows": q.RANGE_WINDOWS_SQL,
         "q_priority_revenue": q.PRIORITY_REVENUE_SQL,
         "q_no_big_purchase": q.NO_BIG_PURCHASE_SQL,
+        "q_top_events": q.TOP_EVENTS_SQL,
     }

@@ -944,3 +944,41 @@ WHERE NOT EXISTS (SELECT 1 FROM events e
                   WHERE e.user_id = u.user_id
                     AND e.event_type = 'purchase' AND e.value >= 99)
 """
+
+
+def q_top_events(sf_dir: str):
+    """Per-group top-k: the 3 highest-value events per event type.
+    Combiner: each batch keeps only its local top-3 per type before the
+    shuffle, so the exchange moves ≤ 3 rows per (batch, type)."""
+    import ray.data as rd
+
+    from ..stages.bucketing import bucketed_map_groups
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"], ascending=[False, True], kind="stable")
+        return df.groupby("event_type", sort=False).head(3)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["value", "event_id"], ascending=[False, True], kind="stable")
+        out = df.groupby("event_type", sort=False).head(3).copy()
+        out["rank"] = out.groupby("event_type", sort=False).cumcount() + 1
+        return out[["event_type", "rank", "event_id", "value"]]
+
+    return bucketed_map_groups(partials, ["event_type"], final_topk)
+
+
+TOP_EVENTS_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value
+FROM r WHERE rank <= 3
+"""
