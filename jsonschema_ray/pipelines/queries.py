@@ -982,3 +982,51 @@ WITH r AS (
 SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value
 FROM r WHERE rank <= 3
 """
+
+
+def q_ngram_counts(sf_dir: str):
+    """Corpus-wide top-20 word bigrams (wordcount shape): per-batch
+    combiner counts bigrams locally, hash buckets merge, global top-20."""
+    import ray.data as rd
+
+    from ..stages.bucketing import bucketed_map_groups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        grams: dict[str, int] = {}
+        for s in t["text"].to_pylist():
+            toks = (s or "").split()
+            for i in range(len(toks) - 1):
+                g = toks[i] + " " + toks[i + 1]
+                grams[g] = grams.get(g, 0) + 1
+        if not grams:
+            return pa.table({"gram": pa.array([], pa.string()), "_n": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "gram": pa.array(list(grams.keys()), pa.string()),
+                "_n": pa.array(np.fromiter(grams.values(), np.int64, len(grams))),
+            }
+        )
+
+    partials = ds.map_batches(local_counts, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("gram", sort=False)["_n"].sum().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    merged = bucketed_map_groups(partials, ["gram"], merge)
+    top = merged.sort(["n", "gram"], descending=[True, False]).limit(20)
+    return top
+
+
+NGRAM_COUNTS_SQL = r"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+grams AS (
+  SELECT t[i] || ' ' || t[i+1] AS gram
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)),
+c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY gram)
+SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT 20
+"""
