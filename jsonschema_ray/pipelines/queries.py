@@ -1030,3 +1030,74 @@ grams AS (
 c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY gram)
 SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT 20
 """
+
+
+def q_row_violations_all(sf_dir: str):
+    """Every violated keyword per row (mode='all') — the reference fails
+    fast and leaves 'collect errors instead' as a TODO (validate.go:18);
+    the vector plan supports both modes."""
+    from .validate_pipeline import TRANSCRIPT_ARROW_SCHEMA
+
+    path = transcripts_path(sf_dir)
+    return _ds(path).map_batches(
+        VectorValidator,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        fn_constructor_kwargs=dict(
+            schema_json=TRANSCRIPT_SCHEMA_JSON,
+            arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
+            mode="all",
+        ),
+    )
+
+
+def row_violations_all_sql(path: str) -> str:
+    tools = ", ".join(f"'{t}'" for t in TOOLS)
+    branches = [
+        (
+            "conv_id IS NOT NULL AND NOT regexp_matches(conv_id, '^conv-[0-9]{8}$')",
+            "'pattern'",
+            "'object: \"conv_id\": string: does not match pattern ^conv-[0-9]{8}$'",
+        ),
+        (
+            "turn_idx IS NOT NULL AND turn_idx < 0",
+            "'minimum'",
+            "'object: \"turn_idx\": number: value ' || turn_idx || '/1 is smaller than 0/1'",
+        ),
+        (
+            "turn_idx IS NOT NULL AND turn_idx > 100000000",
+            "'maximum'",
+            "'object: \"turn_idx\": number: value ' || turn_idx || '/1 is bigger than 100000000/1'",
+        ),
+        (
+            "role IS NOT NULL AND role NOT IN ('system','user','assistant','tool')",
+            "'enum'",
+            "'object: \"role\": enum: \"\\\"' || role || '\\\"\" is not present in enum'",
+        ),
+        (
+            "text IS NOT NULL AND length(text) < 1",
+            "'minLength'",
+            "'object: \"text\": string: length is smaller than 1'",
+        ),
+        (
+            "text IS NOT NULL AND length(text) > 2000",
+            "'maxLength'",
+            "'object: \"text\": string: length is bigger than 2000'",
+        ),
+        (
+            f"tool IS NOT NULL AND tool NOT IN ({tools})",
+            "'enum'",
+            "'object: \"tool\": enum: \"\\\"' || tool || '\\\"\" is not present in enum'",
+        ),
+        ("conv_id IS NULL", "'required'", "'object: required property \"conv_id\" is missing'"),
+        ("turn_idx IS NULL", "'required'", "'object: required property \"turn_idx\" is missing'"),
+        ("role IS NULL", "'required'", "'object: required property \"role\" is missing'"),
+        ("text IS NULL", "'required'", "'object: required property \"text\" is missing'"),
+        ("ts IS NULL", "'required'", "'object: required property \"ts\" is missing'"),
+    ]
+    selects = "\nUNION ALL\n".join(
+        f"SELECT conv_id, turn_idx, {kw} AS keyword, {msg} AS message FROM t WHERE {cond}"
+        for cond, kw, msg in branches
+    )
+    return f"WITH t AS (SELECT * FROM read_parquet('{path}/*.parquet'))\n{selects}"

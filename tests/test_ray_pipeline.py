@@ -260,3 +260,55 @@ def test_resumable_rerun_only_stale_shard(tmp_path):
     assert s2["shards_skipped"] == s1["shards_total"] - 1
     assert s2["row_violations"] == s1["row_violations"]
     shutil.rmtree(out)
+
+
+def test_mode_all_emits_every_keyword_per_row():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import TRANSCRIPT_ARROW_SCHEMA
+    from jsonschema_ray.sources.transcripts import TRANSCRIPT_SCHEMA_JSON
+    from jsonschema_ray.stages.validate import VectorValidator
+
+    # one row violating pattern AND enum AND maxLength simultaneously
+    t = pa.table(
+        {
+            "conv_id": pa.array(["bad-id"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["robot"], pa.string()),
+            "text": pa.array(["x" * 3000], pa.string()),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([0], pa.timestamp("us")),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            VectorValidator,
+            batch_format="pyarrow",
+            concurrency=1,
+            fn_constructor_kwargs=dict(
+                schema_json=TRANSCRIPT_SCHEMA_JSON,
+                arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
+                mode="all",
+            ),
+        )
+        .to_pandas()
+    )
+    assert set(out["keyword"]) == {"pattern", "enum", "maxLength"}
+    assert len(out) == 3
+    first = (
+        rd.from_arrow(t)
+        .map_batches(
+            VectorValidator,
+            batch_format="pyarrow",
+            concurrency=1,
+            fn_constructor_kwargs=dict(
+                schema_json=TRANSCRIPT_SCHEMA_JSON,
+                arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
+                mode="first",
+            ),
+        )
+        .to_pandas()
+    )
+    assert len(first) == 1  # fail-fast parity: one violation per row
