@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stats_minmax": q.q_stats_minmax,
         # training-data ops
         "q_exact_dedup": q.q_exact_dedup,
+        "q_dedup_filter": q.q_dedup_filter,
         "q_token_stats": q.q_token_stats,
         "q_quality_scores": q.q_quality_scores,
         "q_lang_id": q.q_lang_id,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "q_distinct_exact": q.distinct_exact_sql(path),
         "q_stats_minmax": q.stats_minmax_sql(path),
         "q_exact_dedup": q.EXACT_DEDUP_SQL,
+        "q_dedup_filter": q.DEDUP_FILTER_SQL,
         "q_token_stats": q.TOKEN_STATS_SQL,
         "q_quality_scores": q.QUALITY_SQL,
         "q_lang_id": q.LANG_ID_SQL,

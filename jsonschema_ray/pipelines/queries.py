@@ -1101,3 +1101,20 @@ def row_violations_all_sql(path: str) -> str:
         for cond, kw, msg in branches
     )
     return f"WITH t AS (SELECT * FROM read_parquet('{path}/*.parquet'))\n{selects}"
+
+
+def q_dedup_filter(sf_dir: str):
+    """Materialized dedup: corpus filtered to one representative per
+    distinct content (min doc_id)."""
+    import ray.data as rd
+
+    from ..stages.dedup import dedup_keep_first
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_keep_first(ds)
+
+
+DEDUP_FILTER_SQL = """
+SELECT doc_id, text FROM documents d
+WHERE doc_id = (SELECT MIN(doc_id) FROM documents x WHERE x.text = d.text)
+"""

@@ -38,6 +38,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash64",
     "embedding_dup_pairs",
+    "dedup_keep_first",
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -595,4 +596,24 @@ def embedding_dup_pairs(
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         PairScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+def dedup_keep_first(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset of surviving rows: one representative (min id) per
+    distinct content.  Composition: exact_dedup's combiner finds the
+    keeper ids, then a semi-join on the id filters the corpus — both
+    stages shuffle only ids, never the text."""
+    from .joins import hash_join
+
+    keepers = exact_dedup(ds, text_col=text_col, id_col=id_col).map_batches(
+        lambda t: pa.table({id_col: t["doc_id_kept"]}), batch_format="pyarrow"
+    )
+    return hash_join(
+        ds.select_columns([id_col, text_col]),
+        keepers,
+        on=id_col,
+        left_cols=[text_col],
+        right_cols=[],
+        how="semi",
     )
