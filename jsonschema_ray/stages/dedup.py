@@ -1,6 +1,6 @@
 """Deduplication operators over a document table (training-data pipeline ops).
 
-Five flavors, each a composition of ``map_batches`` + ``groupby`` (per the
+Each is a composition of ``map_batches`` + hash-bucketed groupby (per the
 engine's shuffle discipline — explode/shuffle only small derived columns,
 never the full text):
 
@@ -19,6 +19,8 @@ never the full text):
   share one of four 16-bit sub-keys (Hamming ≤ 3 guarantee by pigeonhole).
 * :func:`embedding_dup_pairs` — cosine near-duplicates over an embedding
   column (see stages/ann.py for the top-k search variant).
+* :func:`dedup_keep_first` — materialized dedup: keeper discovery +
+  semi-join filter, one representative per distinct content.
 
 Hashes come from ``pandas.util.hash_array`` (deterministic across
 processes) so partials computed on different workers agree.
