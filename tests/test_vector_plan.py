@@ -85,3 +85,65 @@ def test_tdigest_quantiles():
         exact = np.quantile(data, q)
         est = merged.quantile(q)
         assert abs(est - exact) / exact < 0.05, (q, exact, est)
+
+
+# -- hypothesis fuzz: vector plan ≡ slow path on arbitrary rows -------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _texts = st.one_of(
+        st.none(),
+        st.text(max_size=30),
+        st.just(""),
+        st.just("x" * 2001),
+        st.text(alphabet="é中\U0001F600a ", max_size=12),
+    )
+    _convs = st.one_of(
+        st.none(),
+        st.from_regex(r"conv-[0-9]{8}", fullmatch=True),
+        st.text(alphabet="conv-0123456789x", max_size=16),
+    )
+    _roles = st.one_of(
+        st.none(), st.sampled_from(["system", "user", "assistant", "tool", "robot", ""])
+    )
+    _tools = st.one_of(
+        st.none(), st.sampled_from(["search", "python", "browser", "nonsense", ""])
+    )
+    _turns = st.one_of(
+        st.none(), st.integers(min_value=-5, max_value=5), st.just(100000001)
+    )
+    _row = st.fixed_dictionaries(
+        {
+            "conv_id": _convs,
+            "turn_idx": _turns,
+            "role": _roles,
+            "text": _texts,
+            "tool": _tools,
+            "ts": st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(_row, min_size=1, max_size=8))
+    def test_fuzz_vector_equals_slow_path(rows):
+        t = pa.table(
+            {
+                "conv_id": pa.array([r["conv_id"] for r in rows], pa.string()),
+                "turn_idx": pa.array([r["turn_idx"] for r in rows], pa.int32()),
+                "role": pa.array([r["role"] for r in rows], pa.string()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "tool": pa.array([r["tool"] for r in rows], pa.string()),
+                "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+            }
+        )
+        vv = VectorValidator(TRANSCRIPT_SCHEMA_JSON, t.schema, mode="first")
+        sv = SlowPathValidator(TRANSCRIPT_SCHEMA_JSON)
+        key = ["conv_id", "turn_idx", "keyword", "message"]
+        a = vv(t).to_pandas().sort_values(key).reset_index(drop=True)
+        b = sv(t).to_pandas().sort_values(key).reset_index(drop=True)
+        assert a.equals(b), (a.to_string(), b.to_string())
+
+except ImportError:  # pragma: no cover
+    pass
