@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decode_features": q.q_decode_features,
         "q_ivf_topk": q.q_ivf_topk,
         "q_conformance": q.q_conformance,
+        "q_embed_dedup": q.q_embed_dedup,
     }
 
 

@@ -1118,3 +1118,20 @@ DEDUP_FILTER_SQL = """
 SELECT doc_id, text FROM documents d
 WHERE doc_id = (SELECT MIN(doc_id) FROM documents x WHERE x.text = d.text)
 """
+
+
+def q_embed_dedup(sf_dir: str):
+    """End-to-end embed-then-near-dup pipeline: batched (stub) model
+    inference in an actor pool → embedding-cosine duplicate pairs.
+    Rows-only: the embedder is a deterministic stand-in; pytest asserts
+    that identical texts embed identically and surface as sim≈1 pairs."""
+    import ray.data as rd
+
+    from ..stages.dedup import embedding_dup_pairs
+    from ..stages.model import embed_texts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = embed_texts(ds).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
+    )
+    return embedding_dup_pairs(emb, threshold=0.9, method="exact")

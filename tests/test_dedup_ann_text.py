@@ -271,3 +271,28 @@ def test_resize_and_frame_sample_plumbing():
     assert len(f[f["doc_id"] == 1]) == 8
     assert len(f[f["doc_id"] == 2]) == 1
     assert (f[f["doc_id"] == 1]["frame_idx"].to_numpy() == np.arange(0, 15, 2)).all()
+
+
+def test_embed_stage_batched_inference_and_dedup_composition():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import embedding_dup_pairs
+    from jsonschema_ray.stages.model import embed_texts
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["alpha beta gamma", "totally different words here",
+                         "alpha beta gamma", "alpha beta gamma delta"],
+            }
+        )
+    )
+    emb = embed_texts(ds).map_batches(
+        lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
+    )
+    df = emb.to_pandas().sort_values("vec_id")
+    assert df["embedding"].iloc[0] == pytest.approx(df["embedding"].iloc[2])  # determinism
+    pairs = embedding_dup_pairs(emb, threshold=0.999, method="exact").to_pandas()
+    assert (1, 3) in set(zip(pairs["a"], pairs["b"]))  # identical texts → sim 1 pair
