@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_priority_revenue": q.q_priority_revenue,
         "q_no_big_purchase": q.q_no_big_purchase,
         "q_top_events": q.q_top_events,
+        "q_role_tool_matrix": q.q_role_tool_matrix,
         "q_ngram_counts": q.q_ngram_counts,
         # rows-only (non-SQL-expressible; pytest holds their oracles)
         "q_minhash_pairs": q.q_minhash_pairs,
@@ -117,5 +118,6 @@ def oracle_sql() -> dict[str, str]:
         "q_priority_revenue": q.PRIORITY_REVENUE_SQL,
         "q_no_big_purchase": q.NO_BIG_PURCHASE_SQL,
         "q_top_events": q.TOP_EVENTS_SQL,
+        "q_role_tool_matrix": q.role_tool_matrix_sql(path),
         "q_ngram_counts": q.NGRAM_COUNTS_SQL,
     }

@@ -1135,3 +1135,58 @@ def q_embed_dedup(sf_dir: str):
         lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
     )
     return embedding_dup_pairs(emb, threshold=0.9, method="exact")
+
+
+def q_role_tool_matrix(sf_dir: str):
+    """Pivot: per role, tool-usage counts as columns (wide aggregation
+    from narrow partials)."""
+    import ray.data as rd
+
+    from ..sources.transcripts import TOOLS
+    from ..stages.bucketing import bucketed_map_groups
+
+    path = transcripts_path(sf_dir)
+    ds = rd.read_parquet(path, columns=["role", "tool"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.assign(tool=df["tool"].fillna("∅"))
+            .groupby(["role", "tool"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="_n")
+        )
+        return g.dropna(subset=["role"])
+
+    narrow = ds.map_batches(partial, batch_format="pandas")
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["role", "tool"], sort=False)["_n"].sum().reset_index()
+        wide = g.pivot_table(index="role", columns="tool", values="_n", fill_value=0)
+        out = pd.DataFrame({"role": wide.index})
+        for tname in sorted(TOOLS):
+            col = f"n_{tname}"
+            out[col] = (
+                wide[tname].to_numpy(np.int64) if tname in wide.columns else np.zeros(len(wide), np.int64)
+            )
+        out["n_none"] = (
+            wide["∅"].to_numpy(np.int64) if "∅" in wide.columns else np.zeros(len(wide), np.int64)
+        )
+        return out
+
+    return bucketed_map_groups(narrow, ["role"], pivot)
+
+
+def role_tool_matrix_sql(path: str) -> str:
+    from ..sources.transcripts import TOOLS
+
+    cols = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE tool = '{t}') AS BIGINT) AS n_{t}"
+        for t in sorted(TOOLS)
+    )
+    return f"""
+SELECT role, {cols},
+       CAST(COUNT(*) FILTER (WHERE tool IS NULL) AS BIGINT) AS n_none
+FROM read_parquet('{path}/*.parquet')
+WHERE role IS NOT NULL
+GROUP BY role
+"""

@@ -30,6 +30,8 @@ __all__ = [
     "drift_violations",
     "DriftScanner",
     "drift_scan",
+    "save_baseline",
+    "load_baseline",
     "DEFAULT_DRIFT_FEATURES",
 ]
 
@@ -216,3 +218,34 @@ def drift_scan(ds, baseline: dict, features=None, concurrency=(1, 4), batch_size
         concurrency=concurrency,
         fn_constructor_kwargs=dict(baseline_ref=bref, features=features),
     )
+
+
+def save_baseline(profile: dict, path: str) -> None:
+    """Persist a drift baseline profile (atomic write) for cross-run use:
+    profile the reference corpus once, then every future validation run
+    loads the file instead of re-scanning."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(profile, f)
+    os.replace(tmp, path)
+
+
+def load_baseline(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    # JSON turns int keys into strings; numeric features need them back
+    out: dict = {}
+    for col, counts in raw.items():
+        fixed = {}
+        for k, v in counts.items():
+            try:
+                fixed[int(k)] = v
+            except ValueError:
+                fixed[k] = v
+        out[col] = fixed
+    return out

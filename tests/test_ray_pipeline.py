@@ -312,3 +312,23 @@ def test_mode_all_emits_every_keyword_per_row():
         .to_pandas()
     )
     assert len(first) == 1  # fail-fast parity: one violation per row
+
+
+def test_drift_baseline_persistence(tmp_path):
+    import ray.data as rd
+
+    from jsonschema_ray.sources.transcripts import transcripts_path
+    from jsonschema_ray.stages.drift import (
+        drift_compare,
+        drift_profile,
+        load_baseline,
+        save_baseline,
+    )
+
+    prof = drift_profile(rd.read_parquet(transcripts_path(SF001, "clean")))
+    p = str(tmp_path / "baseline.json")
+    save_baseline(prof, p)
+    back = load_baseline(p)
+    cmp = drift_compare(back, prof)
+    assert cmp["text_len"]["ks"] == 0.0  # round-trip is lossless
+    assert cmp["role"]["chi2"] == 0.0
