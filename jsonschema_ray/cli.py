@@ -37,10 +37,21 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--shard-size", type=int, default=8, help="input files per shard")
     v.add_argument("--schema", default=None, help="path to a JSON Schema file (default: transcript schema)")
     v.add_argument("--mode", default="first", choices=["first", "all"])
+    v.add_argument(
+        "--baseline",
+        default=None,
+        help="drift baseline JSON (from `profile --save-baseline`): adds "
+        "KS/chi-square drift checks against it to the global phase",
+    )
     v.add_argument("--num-cpus", type=int, default=None)
 
     pr = sub.add_parser("profile", help="column stats profile (null/min/max, HLL, t-digest)")
     pr.add_argument("--input", required=True)
+    pr.add_argument(
+        "--save-baseline",
+        default=None,
+        help="also write a drift baseline profile JSON to this path",
+    )
     pr.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -63,12 +74,29 @@ def main(argv: list[str] | None = None) -> int:
                 schema_json=schema_json,
                 mode=args.mode,
             )
+            if args.baseline:
+                from .stages.drift import (
+                    drift_profile,
+                    drift_violations,
+                    load_baseline,
+                )
+
+                baseline = load_baseline(args.baseline)
+                candidate = drift_profile(rd.read_parquet(args.input))
+                dviol = drift_violations(baseline, candidate)
+                summary["drift_violations"] = dviol.num_rows
+                summary["drift_messages"] = dviol["message"].to_pylist()
+                if dviol.num_rows > 0:
+                    summary["verdict"] = "fail"
             print(json.dumps(summary))
             return 0 if summary.get("verdict") == "pass" else 3
         if args.cmd == "profile":
+            from .stages.drift import drift_profile, save_baseline
             from .stages.stats import profile_dataset
 
             prof = profile_dataset(rd.read_parquet(args.input))
+            if args.save_baseline:
+                save_baseline(drift_profile(rd.read_parquet(args.input)), args.save_baseline)
             print(json.dumps(prof, default=str))
             return 0
     finally:

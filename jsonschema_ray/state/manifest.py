@@ -49,6 +49,7 @@ def _fingerprint(files: list[str]) -> str:
 def _write_atomic(ds, final_dir: str) -> int:
     tmp = final_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)  # a zero-violation dataset writes no files at all
     ds.write_parquet(tmp)
     n = 0
     import pyarrow.parquet as pq
