@@ -296,3 +296,29 @@ def test_embed_stage_batched_inference_and_dedup_composition():
     assert df["embedding"].iloc[0] == pytest.approx(df["embedding"].iloc[2])  # determinism
     pairs = embedding_dup_pairs(emb, threshold=0.999, method="exact").to_pandas()
     assert (1, 3) in set(zip(pairs["a"], pairs["b"]))  # identical texts → sim 1 pair
+
+
+def test_hot_shingle_cap_prunes_degenerate_shingle():
+    """Skew guard: a shingle shared by many docs explodes quadratically;
+    hot_shingle_cap drops it while pairs from rare shingles survive."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import jaccard_pairs_exact
+
+    hot = "common words everywhere"
+    docs = [f"{hot} unique{i} tail{i} extra{i}" for i in range(20)]
+    docs += ["rare pair text one shared", "rare pair text one shared"]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    )
+    uncapped = jaccard_pairs_exact(ds, threshold=0.05).to_pandas()
+    capped = jaccard_pairs_exact(ds, threshold=0.05, hot_shingle_cap=5).to_pandas()
+    # uncapped: the 20 hot docs all pair through the shared shingle
+    assert len(uncapped) > len(capped)
+    # the identical rare pair survives the cap (its shingles are rare)
+    assert (20, 21) in set(zip(capped["a"], capped["b"]))
+    # and no capped pair involves ONLY the hot shingle: every surviving
+    # hot-doc pair must have been dropped
+    hot_pairs = {(a, b) for a, b in zip(capped["a"], capped["b"]) if a < 20 and b < 20}
+    assert not hot_pairs
