@@ -782,11 +782,18 @@ def q_asof_click(sf_dir: str):
 
     from ..stages.joins import asof_join
 
-    ev = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
-    )
-    errors = ev.filter(expr="event_type == 'error'").drop_columns(["event_type"])
-    clicks = ev.filter(expr="event_type == 'click'").drop_columns(["event_type"])
+    import pyarrow.dataset as pds
+
+    # row-filter pushdown: only the two needed event types leave storage
+    # (parquet row-group stats prune the rest at the read)
+    def read(etype: str):
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id"],
+            filter=pds.field("event_type") == etype,
+        )
+
+    errors, clicks = read("error"), read("click")
     out = asof_join(
         errors,
         clicks,
