@@ -332,3 +332,21 @@ def test_drift_baseline_persistence(tmp_path):
     cmp = drift_compare(back, prof)
     assert cmp["text_len"]["ks"] == 0.0  # round-trip is lossless
     assert cmp["role"]["chi2"] == 0.0
+
+
+def test_resumable_recovers_from_stray_tmp(tmp_path):
+    """A crash mid-shard leaves a .tmp dir; the rerun must replace it and
+    complete normally (atomic-rename discipline)."""
+    from jsonschema_ray.sources.transcripts import transcripts_path
+    from jsonschema_ray.state import run_resumable
+
+    out = str(tmp_path / "out")
+    stray = os.path.join(out, "shards", "shard=00000.tmp")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    s = run_resumable(transcripts_path(SF001), out, shard_size=1)
+    assert s["shards_run"] == s["shards_total"]
+    assert not os.path.exists(stray)
+    assert os.path.exists(os.path.join(out, "shards", "shard=00000", "MANIFEST.json"))
+    shutil.rmtree(out)
