@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["HLL", "TDigest"]
+__all__ = ["HLL", "TDigest", "hll_distinct_agg", "tdigest_quantile_agg"]
 
 
 class HLL:
@@ -166,3 +166,52 @@ class TDigest:
 
         delta, m, w = pickle.loads(b)
         return cls(delta, m, w)
+
+
+def hll_distinct_agg(column: str, p: int = 12):
+    """HyperLogLog distinct-count as a native ``Dataset.aggregate`` /
+    ``groupby(...).aggregate`` function: per-block sketch accumulation,
+    associative merge, estimate at finalize — usable anywhere Ray's
+    built-in aggregations are."""
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate_block(sk: HLL, block) -> HLL:
+        import pyarrow as pa
+
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        vals = block[column].drop_null().to_numpy(zero_copy_only=False)
+        sk.update_values(vals.astype(object) if vals.dtype == object else vals)
+        return sk
+
+    return AggregateFn(
+        init=lambda k: HLL(p),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: a.merge(b),
+        finalize=lambda sk: float(sk.estimate()),
+        name=f"hll_distinct({column})",
+    )
+
+
+def tdigest_quantile_agg(column: str, q: float = 0.5, delta: int = 200):
+    """t-digest quantile as a native ``Dataset.aggregate`` function."""
+    import numpy as np
+
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate_block(td: TDigest, block) -> TDigest:
+        import pyarrow as pa
+
+        if not isinstance(block, pa.Table):
+            block = pa.Table.from_pandas(block)
+        vals = block[column].drop_null().to_numpy(zero_copy_only=False)
+        td.update(vals.astype(np.float64))
+        return td
+
+    return AggregateFn(
+        init=lambda k: TDigest(delta),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: a.merge(b),
+        finalize=lambda td: float(td.quantile(q)),
+        name=f"tdigest_p{int(q * 100)}({column})",
+    )

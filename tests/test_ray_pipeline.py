@@ -350,3 +350,33 @@ def test_resumable_recovers_from_stray_tmp(tmp_path):
     assert not os.path.exists(stray)
     assert os.path.exists(os.path.join(out, "shards", "shard=00000", "MANIFEST.json"))
     shutil.rmtree(out)
+
+
+def test_native_aggregate_fns():
+    """HLL and t-digest plug into Dataset.aggregate / groupby().aggregate
+    like the built-ins."""
+    import duckdb
+    import ray.data as rd
+
+    from jsonschema_ray.sources.transcripts import transcripts_path
+    from jsonschema_ray.stages.sketches import hll_distinct_agg, tdigest_quantile_agg
+
+    path = transcripts_path(SF001)
+    ds = rd.read_parquet(path)
+    res = ds.aggregate(
+        hll_distinct_agg("conv_id"), tdigest_quantile_agg("turn_idx", 0.5)
+    )
+    con = duckdb.connect()
+    nd, med = con.execute(
+        f"""SELECT COUNT(DISTINCT conv_id), MEDIAN(turn_idx)
+            FROM read_parquet('{path}/*.parquet')"""
+    ).fetchone()
+    assert abs(res["hll_distinct(conv_id)"] - nd) / nd < 0.05
+    assert abs(res["tdigest_p50(turn_idx)"] - float(med)) <= 1.0
+    # grouped form
+    g = (
+        ds.groupby("role")
+        .aggregate(hll_distinct_agg("conv_id"))
+        .to_pandas()
+    )
+    assert len(g) >= 4
