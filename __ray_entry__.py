@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_dups": q.q_embedding_dups,
         "q_top_convs": q.q_top_convs,
         "q_event_windows": q.q_event_windows,
+        "q_sliding_windows": q.q_sliding_windows,
         "q_sessions": q.q_sessions,
         "q_asof_click": q.q_asof_click,
         "q_range_windows": q.q_range_windows,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_dups": q.EMBEDDING_DUPS_SQL,
         "q_top_convs": q.top_convs_sql(path),
         "q_event_windows": q.EVENT_WINDOWS_SQL,
+        "q_sliding_windows": q.SLIDING_WINDOWS_SQL,
         "q_sessions": q.SESSIONS_SQL,
         "q_asof_click": q.ASOF_CLICK_SQL,
         "q_range_windows": q.RANGE_WINDOWS_SQL,

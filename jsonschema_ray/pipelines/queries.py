@@ -1197,3 +1197,29 @@ FROM read_parquet('{path}/*.parquet')
 WHERE role IS NOT NULL
 GROUP BY role
 """
+
+
+def q_sliding_windows(sf_dir: str):
+    """Sliding 6-hour windows hopping every 3 hours, per event type."""
+    import ray.data as rd
+
+    from ..stages.events import sliding_window_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return sliding_window_agg(ds, size_hours=6, hop_hours=3)
+
+
+SLIDING_WINDOWS_SQL = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts, TIMESTAMP '2024-01-01') AS window_start,
+         event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 6 HOUR, ts, TIMESTAMP '2024-01-01' + INTERVAL 3 HOUR),
+         event_type, value FROM events)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM b GROUP BY 1, 2
+"""

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 from .bucketing import bucketed_map_groups
 
-__all__ = ["windowed_agg", "sessionize"]
+__all__ = ["windowed_agg", "sliding_window_agg", "sessionize"]
 
 
 def windowed_agg(ds, window: str = "hour", key_col: str = "event_type", ts_col: str = "ts", value_col: str = "value"):
@@ -118,4 +118,69 @@ def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str
         ds.select_columns([user_col, ts_col, value_col]),
         [user_col],
         sessions_in_bucket,
+    )
+
+
+def sliding_window_agg(
+    ds,
+    size_hours: int = 6,
+    hop_hours: int = 3,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    epoch: str = "2024-01-01",
+):
+    """Sliding (hopping) windows: each event belongs to size/hop windows
+    aligned to ``epoch``; the explode happens inside the per-batch combiner
+    so the shuffle still moves one partial row per (batch, window, key)."""
+    assert size_hours % hop_hours == 0, "hop must divide size"
+    k = size_hours // hop_hours
+    ep = pd.Timestamp(epoch)
+    size = pd.Timedelta(hours=size_hours)
+    hop = pd.Timedelta(hours=hop_hours)
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "_ts": t[ts_col].to_pandas(),
+                key_col: t[key_col].to_pandas(),
+                "_v": t[value_col].to_pandas(),
+            }
+        )
+        frames = []
+        for j in range(k):
+            off = ep + j * hop
+            start = ((df["_ts"] - off) // size) * size + off
+            frames.append(
+                pd.DataFrame({"window_start": start, key_col: df[key_col], "_v": df["_v"]})
+            )
+        all_rows = pd.concat(frames, ignore_index=True)
+        g = (
+            all_rows.groupby(["window_start", key_col], sort=False)["_v"]
+            .agg(["size", "sum"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "window_start": pa.array(g["window_start"], pa.timestamp("us")),
+                key_col: pa.array(g[key_col], pa.string()),
+                "_n": pa.array(g["size"].to_numpy(np.int64)),
+                "_s": pa.array(g["sum"].to_numpy(np.float64)),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["window_start", key_col], sort=False)
+            .agg(n_events=("_n", "sum"), sum_value=("_s", "sum"))
+            .reset_index()
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        g["sum_value"] = g["sum_value"].round(6)
+        return g
+
+    return bucketed_map_groups(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["window_start", key_col],
+        combine,
     )
