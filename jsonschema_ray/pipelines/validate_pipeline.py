@@ -57,6 +57,31 @@ def transcript_violations(
     parts = []
     fold_referential = "rows" in checks and "referential" in checks
     if "rows" in checks:
+        # Compile against the table's ACTUAL schema so shape mismatches
+        # (unexpected column under additionalProperties=false, required
+        # column absent entirely) surface as schema-level violation rows
+        # (conv_id='', turn_idx=-1 → table-scoped) instead of being
+        # silently dropped or crashing the per-batch checks.
+        import ray.data as rd
+
+        from ..core import parse as _parse
+        from ..stages.checks import VIOLATION_PA_SCHEMA
+        from ..vector.plan import compile_plan
+
+        try:
+            sch = ds.schema()
+            arrow_schema = pa.schema(list(zip(sch.names, sch.types)))
+        except Exception:
+            arrow_schema = TRANSCRIPT_ARROW_SCHEMA
+        plan = compile_plan(_parse(schema_json), arrow_schema)
+        if plan.static_violations:
+            rows = [
+                {"conv_id": "", "turn_idx": -1, "keyword": kw, "message": msg}
+                for _col, kw, msg in plan.static_violations
+            ]
+            parts.append(
+                rd.from_arrow(pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA))
+            )
         kwargs = dict(
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -65,7 +90,7 @@ def transcript_violations(
             concurrency=concurrency if concurrency is not None else (1, 8),
             fn_constructor_kwargs=dict(
                 schema_json=schema_json,
-                arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
+                arrow_schema=arrow_schema,
                 mode=mode,
                 with_referential=fold_referential,
             ),

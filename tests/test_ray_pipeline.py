@@ -380,3 +380,38 @@ def test_native_aggregate_fns():
         .to_pandas()
     )
     assert len(g) >= 4
+
+
+def test_schema_level_violations_surface():
+    """A table with an unexpected extra column and a missing required
+    column must yield table-scoped schema-level violation rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-00000001"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["hi"], pa.string()),
+            "tool": pa.array([None], pa.string()),
+            # no ts column; one unexpected column
+            "surprise": pa.array([1], pa.int64()),
+        }
+    )
+    import json
+
+    from jsonschema_ray.sources.transcripts import TRANSCRIPT_SCHEMA_JSON
+
+    strict = json.loads(TRANSCRIPT_SCHEMA_JSON)
+    strict["additionalProperties"] = False
+    out = transcript_violations(
+        rd.from_arrow(t), schema_json=json.dumps(strict), checks=("rows",)
+    ).to_pandas()
+    static = out[out["turn_idx"] == -1]
+    assert "additionalProperties" in set(static["keyword"])
+    assert "required" in set(static["keyword"])
+    msgs = " | ".join(static["message"])
+    assert '"surprise"' in msgs and '"ts"' in msgs
