@@ -68,13 +68,21 @@ def transcript_violations(
         from ..stages.checks import VIOLATION_PA_SCHEMA
         from ..vector.plan import compile_plan
 
+        from ..vector.plan import UnsupportedPlanError
+
         try:
             sch = ds.schema()
             arrow_schema = pa.schema(list(zip(sch.names, sch.types)))
         except Exception:
             arrow_schema = TRANSCRIPT_ARROW_SCHEMA
-        plan = compile_plan(_parse(schema_json), arrow_schema)
-        if plan.static_violations:
+        try:
+            plan = compile_plan(_parse(schema_json), arrow_schema)
+        except UnsupportedPlanError:
+            # Schemas outside the vectorizable subset (top-level
+            # composition, patternProperties, exotic column types) fall
+            # back to the exact per-row engine — slower, never wrong.
+            plan = None
+        if plan is not None and plan.static_violations:
             rows = [
                 {"conv_id": "", "turn_idx": -1, "keyword": kw, "message": msg}
                 for _col, kw, msg in plan.static_violations
@@ -82,20 +90,36 @@ def transcript_violations(
             parts.append(
                 rd.from_arrow(pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA))
             )
-        kwargs = dict(
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=batch_size,
-            # Actor pool: plan compiled once per actor in __init__.
-            concurrency=concurrency if concurrency is not None else (1, 8),
-            fn_constructor_kwargs=dict(
-                schema_json=schema_json,
-                arrow_schema=arrow_schema,
-                mode=mode,
-                with_referential=fold_referential,
-            ),
-        )
-        parts.append(ds.map_batches(VectorValidator, **kwargs))
+        if plan is not None:
+            kwargs = dict(
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=batch_size,
+                # Actor pool: plan compiled once per actor in __init__.
+                concurrency=concurrency if concurrency is not None else (1, 8),
+                fn_constructor_kwargs=dict(
+                    schema_json=schema_json,
+                    arrow_schema=arrow_schema,
+                    mode=mode,
+                    with_referential=fold_referential,
+                ),
+            )
+            parts.append(ds.map_batches(VectorValidator, **kwargs))
+        else:
+            from ..stages.validate import SlowPathValidator
+
+            parts.append(
+                ds.map_batches(
+                    SlowPathValidator,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=batch_size,
+                    concurrency=concurrency if concurrency is not None else (1, 8),
+                    fn_constructor_kwargs=dict(schema_json=schema_json),
+                )
+            )
+            if fold_referential:
+                parts.append(referential_violations(ds))
     elif "referential" in checks:
         parts.append(referential_violations(ds))
 

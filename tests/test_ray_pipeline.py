@@ -415,3 +415,39 @@ def test_schema_level_violations_surface():
     assert "required" in set(static["keyword"])
     msgs = " | ".join(static["message"])
     assert '"surprise"' in msgs and '"ts"' in msgs
+
+
+def test_unsupported_schema_falls_back_to_slow_path():
+    """A schema outside the vectorizable subset (top-level allOf) must
+    still validate — via the exact per-row engine."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+
+    schema = json.dumps(
+        {
+            "allOf": [
+                {"type": "object", "required": ["conv_id"]},
+                {"properties": {"turn_idx": {"minimum": 0}}},
+            ]
+        }
+    )
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-00000001", None], pa.string()),
+            "turn_idx": pa.array([-3, 0], pa.int32()),
+            "role": pa.array(["user", "user"], pa.string()),
+            "text": pa.array(["a", "b"], pa.string()),
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([0, 1], pa.timestamp("us")),
+        }
+    )
+    out = transcript_violations(
+        rd.from_arrow(t), schema_json=schema, checks=("rows",)
+    ).to_pandas()
+    # row 0: turn_idx -3 < 0; row 1: conv_id missing
+    assert len(out) == 2
+    assert "allOf" in " ".join(out["message"]) or "required" in " ".join(out["message"])
