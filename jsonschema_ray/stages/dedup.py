@@ -101,39 +101,63 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
 
 
 def _doc_shingles(text: str, n: int) -> np.ndarray:
-    toks = _tokenize(text)
-    if len(toks) < n:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    if not shingles:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(pd.util.hash_array(np.asarray(shingles, dtype=object)))
+    """Single-doc wrapper over :func:`_batch_shingles` (same hash family,
+    so driver-side verification agrees with the distributed stages)."""
+    h, _ = _batch_shingles([text], n)
+    return h
+
+
+_SHINGLE_P = np.uint64(1099511628211)
 
 
 def _batch_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """All docs' deduped shingle hashes in one pass: ONE hash_array call for
-    the whole batch, per-segment dedup via lexsort.  → (hashes, seg_ids),
+    """All docs' deduped shingle hashes in one pass: tokens hashed ONCE for
+    the whole batch, n-gram hashes formed by a vectorized polynomial
+    combine of consecutive token hashes (no shingle strings are ever
+    built), per-segment dedup via lexsort.  → (hashes, seg_ids),
     segment-sorted (all of doc i's shingles contiguous)."""
-    all_sh: list[str] = []
+    np.seterr(over="ignore")  # uint64 wraparound IS the mixing
+    all_toks: list[str] = []
     seg: list[int] = []
     for i, text in enumerate(texts):
-        toks = (text or "").split()
-        if len(toks) < n:
-            sh = [" ".join(toks)] if toks else []
-        else:
-            sh = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
-        all_sh.extend(sh)
-        seg.extend([i] * len(sh))
-    if not all_sh:
+        tk = (text or "").split()
+        all_toks.extend(tk)
+        seg.extend([i] * len(tk))
+    if not all_toks:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    h = pd.util.hash_array(np.asarray(all_sh, dtype=object))
-    s = np.asarray(seg, dtype=np.int64)
-    order = np.lexsort((h, s))
-    hs, ss = h[order], s[order]
+    th = pd.util.hash_array(np.asarray(all_toks, dtype=object))
+    sg = np.asarray(seg, dtype=np.int64)
+    m = len(th)
+    parts_h: list[np.ndarray] = []
+    parts_s: list[np.ndarray] = []
+    if m >= n:
+        # windows entirely inside one document: seg equal at both ends
+        comb = np.zeros(m - n + 1, dtype=np.uint64)
+        for j in range(n):
+            comb = comb * _SHINGLE_P + th[j : m - n + 1 + j]
+        valid = sg[: m - n + 1] == sg[n - 1 :]
+        parts_h.append(comb[valid])
+        parts_s.append(sg[: m - n + 1][valid])
+    # docs with fewer than n tokens hash their whole token run
+    counts = np.bincount(sg, minlength=max(seg) + 1 if seg else 0)
+    short_docs = np.flatnonzero((counts > 0) & (counts < n))
+    if len(short_docs):
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        for d in short_docs:
+            h = np.uint64(0)
+            for j in range(starts[d], starts[d] + counts[d]):
+                h = h * _SHINGLE_P + th[j]
+            parts_h.append(np.array([h], dtype=np.uint64))
+            parts_s.append(np.array([d], dtype=np.int64))
+    if not parts_h:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    hh = np.concatenate(parts_h)
+    ss = np.concatenate(parts_s)
+    order = np.lexsort((hh, ss))
+    hs, sss = hh[order], ss[order]
     keep = np.ones(len(hs), dtype=bool)
-    keep[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
-    return hs[keep], ss[keep]
+    keep[1:] = (hs[1:] != hs[:-1]) | (sss[1:] != sss[:-1])
+    return hs[keep], sss[keep]
 
 
 def shingle_rows(ds, text_col="text", id_col="doc_id", n: int = 3):
