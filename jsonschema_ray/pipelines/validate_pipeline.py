@@ -28,7 +28,7 @@ from ..stages.checks import (
 )
 from ..stages.validate import VectorValidator
 
-__all__ = ["transcript_violations", "validate_transcripts"]
+__all__ = ["transcript_violations", "validate_transcripts", "quarantine_split"]
 
 TRANSCRIPT_ARROW_SCHEMA = pa.schema(
     [
@@ -173,3 +173,52 @@ def validate_transcripts(
         violations.write_parquet(out_dir)
         result["out_dir"] = out_dir
     return result
+
+
+def quarantine_split(
+    ds,
+    schema_json: str = TRANSCRIPT_SCHEMA_JSON,
+    key_cols=("conv_id", "turn_idx"),
+):
+    """Dead-letter routing: → (clean_ds, quarantined_ds).
+
+    Row-level violations decide membership; the violating keys are
+    anti-/semi-joined back against the input (one aligned hash exchange
+    each), so the full rows are never collected on the driver and the
+    text column never shuffles with the violation keys."""
+    from ..stages.joins import hash_join
+
+    viol_keys = (
+        transcript_violations(ds, schema_json=schema_json, checks=("rows",))
+        .map_batches(
+            lambda t: t.select(list(key_cols)),
+            batch_format="pyarrow",
+        )
+    )
+    # composite key → single join key (hash of the pair)
+    import pandas as pd
+
+    def keyed(d):
+        def fn(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            conv = t[key_cols[0]].combine_chunks().to_numpy(zero_copy_only=False)
+            turn = t[key_cols[1]].combine_chunks().to_numpy(zero_copy_only=False)
+            k = pd.util.hash_array(conv.astype(object)) * np.uint64(1000003) ^ pd.util.hash_array(
+                turn.astype(np.int64)
+            )
+            return t.append_column("_k", pa.array(k.astype(np.int64)))
+
+        return d.map_batches(fn, batch_format="pyarrow")
+
+    left = keyed(ds)
+    right = keyed(viol_keys).map_batches(
+        lambda t: t.select(["_k"]), batch_format="pyarrow"
+    )
+    cols = [c for c in ds.schema().names]
+    clean = hash_join(left, right, on="_k", left_cols=cols, right_cols=[], how="anti")
+    bad = hash_join(left, right, on="_k", left_cols=cols, right_cols=[], how="semi")
+    drop = lambda d: d.map_batches(  # noqa: E731
+        lambda t: t.drop_columns(["_k"]), batch_format="pyarrow"
+    )
+    return drop(clean), drop(bad)

@@ -185,4 +185,16 @@ def hash_join(
         mask = left[on].isin(keys).to_numpy()
         return left[mask] if how == "semi" else left[~mask]
 
-    return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
+    out_cols = [on, *left_cols] + (right_cols if how == "inner" else [])
+    target = pa.schema([(c, type_of[c]) for c in out_cols])
+
+    def recast(t: pa.Table) -> pa.Table:
+        # the union's null padding floats int columns through pandas;
+        # restore the sides' true Arrow types
+        return t.select(out_cols).cast(target)
+
+    return (
+        both.groupby("_b")
+        .map_groups(join_bucket, batch_format="pandas")
+        .map_batches(recast, batch_format="pyarrow")
+    )

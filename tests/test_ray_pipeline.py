@@ -451,3 +451,22 @@ def test_unsupported_schema_falls_back_to_slow_path():
     # row 0: turn_idx -3 < 0; row 1: conv_id missing
     assert len(out) == 2
     assert "allOf" in " ".join(out["message"]) or "required" in " ".join(out["message"])
+
+
+def test_quarantine_split_partitions_rows():
+    """Dead-letter routing: clean + quarantined = input; re-validating the
+    clean side yields zero row-level violations."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+    from jsonschema_ray.pipelines.validate_pipeline import quarantine_split
+    from jsonschema_ray.sources.transcripts import transcripts_path
+
+    ds = rd.read_parquet(transcripts_path(SF001))
+    total = ds.count()
+    clean, bad = quarantine_split(rd.read_parquet(transcripts_path(SF001)))
+    n_clean, n_bad = clean.count(), bad.count()
+    assert n_clean + n_bad == total
+    assert n_bad > 0
+    reval = transcript_violations(clean, checks=("rows",)).count()
+    assert reval == 0
