@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_row_violations": q.q_row_violations,
         "q_row_violations_all": q.q_row_violations_all,
+        "q_clean_rows": q.q_clean_rows,
         "q_referential": q.q_referential,
         "q_duplicate_keys": q.q_duplicate_keys,
         "q_contiguity": q.q_contiguity,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_row_violations": q.row_violations_sql(path),
         "q_row_violations_all": q.row_violations_all_sql(path),
+        "q_clean_rows": q.clean_rows_sql(path),
         "q_referential": q.referential_sql(path),
         "q_duplicate_keys": q.duplicate_keys_sql(path),
         "q_contiguity": q.contiguity_sql(path),

@@ -1223,3 +1223,35 @@ SELECT window_start, event_type,
        ROUND(SUM(value), 6) AS sum_value
 FROM b GROUP BY 1, 2
 """
+
+
+def q_clean_rows(sf_dir: str):
+    """Dead-letter routing surface: per-role counts of rows surviving the
+    quarantine split (key-level: every row sharing a (conv_id, turn_idx)
+    key with a violating row is quarantined with it)."""
+    import ray.data as rd
+
+    from .validate_pipeline import quarantine_split
+
+    path = transcripts_path(sf_dir)
+    clean, _bad = quarantine_split(rd.read_parquet(path))
+    counts = clean.groupby("role").count()
+    return counts.map_batches(
+        lambda t: pa.table({"role": t["role"], "n": t["count()"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def clean_rows_sql(path: str) -> str:
+    inner = row_violations_sql(path)
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}/*.parquet')),
+v AS ({inner})
+SELECT t.role, CAST(COUNT(*) AS BIGINT) AS n
+FROM t
+WHERE NOT EXISTS (
+  SELECT 1 FROM v
+  WHERE v.conv_id IS NOT DISTINCT FROM t.conv_id
+    AND v.turn_idx IS NOT DISTINCT FROM t.turn_idx)
+GROUP BY t.role
+"""
