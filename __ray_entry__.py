@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_pricing": q.q_lineitem_pricing,
         "q_segment_revenue": q.q_segment_revenue,
         "q_distinct_exact": q.q_distinct_exact,
+        "q_distinct_pairs": q.q_distinct_pairs,
         "q_stats_minmax": q.q_stats_minmax,
         # training-data ops
         "q_exact_dedup": q.q_exact_dedup,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lineitem_pricing": q.LINEITEM_PRICING_SQL,
         "q_segment_revenue": q.SEGMENT_REVENUE_SQL,
         "q_distinct_exact": q.distinct_exact_sql(path),
+        "q_distinct_pairs": q.distinct_pairs_sql(path),
         "q_stats_minmax": q.stats_minmax_sql(path),
         "q_exact_dedup": q.EXACT_DEDUP_SQL,
         "q_dedup_filter": q.DEDUP_FILTER_SQL,

@@ -1255,3 +1255,26 @@ WHERE NOT EXISTS (
     AND v.turn_idx IS NOT DISTINCT FROM t.turn_idx)
 GROUP BY t.role
 """
+
+
+def q_distinct_pairs(sf_dir: str):
+    """Set op: distinct (role, tool) combinations — per-batch unique
+    combiner, then one tiny grouped dedup."""
+    import ray.data as rd
+
+    from ..stages.bucketing import bucketed_map_groups
+
+    path = transcripts_path(sf_dir)
+    ds = rd.read_parquet(path, columns=["role", "tool"])
+
+    def local_unique(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    partials = ds.map_batches(local_unique, batch_format="pandas")
+    return bucketed_map_groups(partials, ["role", "tool"], lambda df: df.drop_duplicates())
+
+
+def distinct_pairs_sql(path: str) -> str:
+    return f"""
+SELECT DISTINCT role, tool FROM read_parquet('{path}/*.parquet')
+"""
