@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .bucketing import pick_num_buckets
 
-__all__ = ["asof_join", "range_join_broadcast", "hash_join"]
+__all__ = ["asof_join", "range_join_broadcast", "hash_join", "detect_hot_keys", "salted_hash_join"]
 
 
 def asof_join(
@@ -197,4 +197,100 @@ def hash_join(
         both.groupby("_b")
         .map_groups(join_bucket, batch_format="pandas")
         .map_batches(recast, batch_format="pyarrow")
+    )
+
+
+def detect_hot_keys(ds, on: str, threshold: int = 100_000) -> set:
+    """Keys whose row count exceeds ``threshold`` — combiner counts per
+    batch, tiny grouped merge, driver collects only the (few) hot keys."""
+    from .bucketing import bucketed_map_groups
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(on, sort=False).size().reset_index(name="_n")
+
+    partials = ds.select_columns([on]).map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(on, sort=False)["_n"].sum().reset_index()
+        return g[g["_n"] > threshold]
+
+    hot = bucketed_map_groups(partials, [on], merge).to_pandas()
+    return set(hot[on])
+
+
+def salted_hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    hot_keys: set,
+    n_salts: int = 16,
+):
+    """Inner equi-join that survives hot keys: a hot key's LEFT rows are
+    sprayed across ``n_salts`` sub-buckets (round-robin) while its RIGHT
+    rows are replicated into every sub-bucket, so no single bucket holds a
+    hot key's full cross product input.  Non-hot keys join exactly as in
+    :func:`hash_join` (salt 0 both sides)."""
+    nb = pick_num_buckets(left_ds, None) * max(1, n_salts // 4)
+    all_cols = [on, *left_cols, *right_cols]
+
+    type_of: dict[str, pa.DataType] = {}
+    for sch in (left_ds.schema(), right_ds.schema()):
+        for n, t in zip(sch.names, sch.types):
+            type_of.setdefault(n, t)
+
+    import ray
+
+    href = ray.put(hot_keys)
+
+    def tag(side: str, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            hot = ray.get(href)
+            key = t[on].combine_chunks().to_numpy(zero_copy_only=False)
+            is_hot = np.fromiter(
+                (k in hot for k in key), dtype=bool, count=len(key)
+            )
+            base = pd.util.hash_array(key)
+            reps = np.ones(len(key), dtype=np.int64)
+            if side == "R":
+                reps[is_hot] = n_salts  # replicate hot right rows
+            idx = np.repeat(np.arange(len(key)), reps)
+            if side == "L":
+                salt = np.zeros(len(key), dtype=np.uint64)
+                salt[is_hot] = np.arange(int(is_hot.sum()), dtype=np.uint64) % n_salts
+                salt = salt[idx]
+            else:
+                # for each replicated row: salts 0..n_salts-1; non-hot → 0
+                offs = np.concatenate([np.arange(r) for r in reps]) if len(reps) else np.empty(0, np.int64)
+                salt = offs.astype(np.uint64)
+            b = ((base[idx] * np.uint64(1000003)) ^ salt) % nb
+            t2 = t.take(pa.array(idx.astype(np.int64)))
+            cols = {}
+            for c in all_cols:
+                if c == on or c in own:
+                    cols[c] = t2[c]
+                else:
+                    cols[c] = pa.nulls(t2.num_rows, type_of[c])
+            cols["_b"] = pa.array(b.astype(np.int32))
+            cols["_side"] = pa.array([side] * t2.num_rows, pa.string())
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(tag("L", left_cols), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("R", right_cols), batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["_side"] == "L"][[on, *left_cols]]
+        right = df[df["_side"] == "R"][[on, *right_cols]]
+        return left.merge(right, on=on, how="inner")
+
+    out_cols = [on, *left_cols, *right_cols]
+    target = pa.schema([(c, type_of[c]) for c in out_cols])
+    return (
+        both.groupby("_b")
+        .map_groups(join_bucket, batch_format="pandas")
+        .map_batches(lambda t: t.select(out_cols).cast(target), batch_format="pyarrow")
     )

@@ -470,3 +470,34 @@ def test_quarantine_split_partitions_rows():
     assert n_bad > 0
     reval = transcript_violations(clean, checks=("rows",)).count()
     assert reval == 0
+
+
+def test_salted_hash_join_matches_plain_join_on_hot_key():
+    """A degenerate hot key (80% of both sides) must produce the identical
+    inner-join multiset under salting as under the plain bucketed join."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.joins import detect_hot_keys, hash_join, salted_hash_join
+
+    n = 2000
+    lkeys = [7] * (n * 4 // 5) + list(range(100, 100 + n // 5))
+    rkeys = [7] * 50 + list(range(100, 140))
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(lkeys, pa.int64()), "lv": pa.array(range(len(lkeys)), pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(rkeys, pa.int64()), "rv": pa.array(range(len(rkeys)), pa.int64())})
+    )
+    hot = detect_hot_keys(left, "k", threshold=500)
+    assert hot == {7}
+    plain = hash_join(left, right, on="k", left_cols=["lv"], right_cols=["rv"]).to_pandas()
+    salted = salted_hash_join(
+        left, right, on="k", left_cols=["lv"], right_cols=["rv"], hot_keys=hot, n_salts=8
+    ).to_pandas()
+    cols = ["k", "lv", "rv"]
+    a = plain.sort_values(cols).reset_index(drop=True)
+    b = salted.sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == (n * 4 // 5) * 50 + 40  # hot cross product + 40 exact matches
