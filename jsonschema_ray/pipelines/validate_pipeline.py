@@ -1,17 +1,22 @@
 """The flagship pipeline: transcript table → violation rows + profile.
 
-Shape (SURVEY.md §3.4):
+Shape (SURVEY.md §3.4, as built):
 
     read_parquet (column-pruned)
-      ├─ map_batches(VectorValidator, actor pool, zero-copy Arrow)  → row violations
-      ├─ map_batches(referential)                                    → referential violations
-      ├─ select(keys) → groupby(conv_id,turn_idx).count()            → duplicate keys
-      ├─ select(conv cols) → groupby(conv_id).map_groups             → contiguity / ts order
-      └─ map_batches(ColumnProfiler) → tree merge                    → profile
+      ├─ schema-level check (plan compiled against the ACTUAL table schema;
+      │    static violations emitted as table-scoped rows)
+      ├─ map_batches(VectorValidator, actor pool, zero-copy Arrow)
+      │    → row violations (+ folded referential check, one sweep);
+      │    SlowPathValidator fallback for non-vectorizable schemas
+      ├─ conversation checks: ONE hash-bucketed shuffle serving
+      │    uniqueness + contiguity + ts order — "bucket" (conv-colocated)
+      │    or "salted" (range-split, skew-proof) strategy
+      └─ map_batches(ColumnProfiler) → tree merge → profile
     union of violation streams → sort(conv_id, turn_idx) → write_parquet
 
-Everything streams; only the final profile partials and small violation
-aggregates are materialized on the driver.
+`quarantine_split` additionally routes violating rows to a dead-letter
+dataset via key anti-/semi-joins. Everything streams; only the profile
+partials and small violation aggregates materialize on the driver.
 """
 
 from __future__ import annotations
