@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .bucketing import pick_num_buckets
 
-__all__ = ["asof_join", "range_join_broadcast", "hash_join", "detect_hot_keys", "salted_hash_join"]
+__all__ = ["asof_join", "range_join_broadcast", "hash_join", "detect_hot_keys", "salted_hash_join", "auto_hash_join"]
 
 
 def asof_join(
@@ -294,3 +294,23 @@ def salted_hash_join(
         .map_groups(join_bucket, batch_format="pandas")
         .map_batches(lambda t: t.select(out_cols).cast(target), batch_format="pyarrow")
     )
+
+
+def auto_hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    hot_threshold: int = 1_000_000,
+    n_salts: int = 16,
+):
+    """Inner join with automatic skew handling: detect over-threshold keys
+    (cheap combiner pass) and route through :func:`salted_hash_join` only
+    when any exist; otherwise the plain single-exchange join."""
+    hot = detect_hot_keys(left_ds, on, hot_threshold)
+    if hot:
+        return salted_hash_join(
+            left_ds, right_ds, on, left_cols, right_cols, hot_keys=hot, n_salts=n_salts
+        )
+    return hash_join(left_ds, right_ds, on, left_cols, right_cols, how="inner")

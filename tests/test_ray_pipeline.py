@@ -501,3 +501,26 @@ def test_salted_hash_join_matches_plain_join_on_hot_key():
     b = salted.sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
     assert len(a) == (n * 4 // 5) * 50 + 40  # hot cross product + 40 exact matches
+
+
+def test_auto_hash_join_routes_by_skew():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.joins import auto_hash_join, hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1] * 900 + [2, 3], pa.int64()),
+                  "lv": pa.array(range(902), pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "rv": pa.array([10, 20], pa.int64())})
+    )
+    plain = hash_join(left, right, on="k", left_cols=["lv"], right_cols=["rv"]).to_pandas()
+    auto = auto_hash_join(
+        left, right, on="k", left_cols=["lv"], right_cols=["rv"], hot_threshold=500
+    ).to_pandas()
+    cols = ["k", "lv", "rv"]
+    assert plain.sort_values(cols).reset_index(drop=True).equals(
+        auto.sort_values(cols).reset_index(drop=True)
+    )
