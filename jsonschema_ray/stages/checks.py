@@ -42,6 +42,8 @@ __all__ = [
     "ts_order_violations",
     "conv_checks_violations",
     "conv_checks_salted",
+    "conv_checks_auto",
+    "max_conversation_size",
     "EMPTY_VIOLATIONS",
 ]
 
@@ -545,3 +547,35 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
     if len(parts) > 1:
         out = out.union(*parts[1:])
     return out
+
+
+def max_conversation_size(ds) -> int:
+    """Largest per-conversation row count, via per-batch combiner partials
+    merged in hash buckets — only (conv_id, partial count) rows shuffle."""
+    import pandas as pd
+
+    from .bucketing import bucketed_map_groups
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("conv_id", sort=False).size().reset_index(name="_n")
+
+    partials = ds.select_columns(["conv_id"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    totals = bucketed_map_groups(
+        partials,
+        ["conv_id"],
+        lambda df: df.groupby("conv_id", sort=False)["_n"].sum().reset_index(),
+    )
+    out = totals.max("_n")
+    return int(out) if out is not None else 0
+
+
+def conv_checks_auto(ds, hot_threshold: int = 1_000_000, range_size: int = 4096):
+    """Pick the conversation-check strategy from the data: the co-located
+    bucket variant unless some conversation exceeds ``hot_threshold`` rows,
+    in which case the salted range-split variant bounds every shuffle
+    group (cf. joins.auto_hash_join)."""
+    if max_conversation_size(ds) > hot_threshold:
+        return conv_checks_salted(ds, range_size=range_size)
+    return conv_checks_violations(ds)

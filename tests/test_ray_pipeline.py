@@ -524,3 +524,25 @@ def test_auto_hash_join_routes_by_skew():
     assert plain.sort_values(cols).reset_index(drop=True).equals(
         auto.sort_values(cols).reset_index(drop=True)
     )
+
+
+def test_conv_checks_auto_picks_strategy():
+    import ray.data as rd
+
+    from jsonschema_ray.sources.transcripts import transcripts_path
+    from jsonschema_ray.stages.checks import (
+        conv_checks_auto,
+        conv_checks_violations,
+        max_conversation_size,
+    )
+
+    path = transcripts_path(SF001)
+    mx = max_conversation_size(rd.read_parquet(path))
+    assert mx > 1
+    cols = ["conv_id", "turn_idx", "keyword", "message"]
+    base = conv_checks_violations(rd.read_parquet(path)).to_pandas()[cols]
+    # low threshold forces the salted path; result must be identical
+    forced = conv_checks_auto(rd.read_parquet(path), hot_threshold=2).to_pandas()[cols]
+    a = base.sort_values(cols).reset_index(drop=True)
+    b = forced.sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
