@@ -138,6 +138,10 @@ def transcript_violations(
             from ..stages.checks import conv_checks_salted
 
             parts.append(conv_checks_salted(ds))
+        elif conv_strategy == "auto":
+            from ..stages.checks import conv_checks_auto
+
+            parts.append(conv_checks_auto(ds))
         else:
             parts.append(conv_checks_violations(ds))
     else:
