@@ -159,8 +159,16 @@ def _render_ts(v) -> str:
 
 
 def _value_fraction(v) -> Fraction:
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, float):
-        return Fraction(v)  # exact binary expansion
+        # Decimal lexeme, matching the slow path's JNum(repr(v)): 0.3 → 3/10,
+        # not the exact binary expansion Fraction(0.3) would give.  Keeps
+        # multipleOf masks and min/max message rationals identical between
+        # the fast and slow engines.
+        return Fraction(repr(v))
+    if isinstance(v, np.integer):
+        return Fraction(int(v))
     return Fraction(v)
 
 
@@ -229,6 +237,15 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
     name_set = set(names)
 
     # additionalProperties=false with unexpected table columns → schema-level.
+    # The schema form would have to validate every unmatched column's values;
+    # route those plans through the exact per-row engine (validate.go:484-496).
+    if (
+        schema.additional_properties is not None
+        and schema.additional_properties[0] != "bool"
+    ):
+        raise UnsupportedPlanError(
+            "additionalProperties schema form needs the slow path"
+        )
     if schema.additional_properties == ("bool", False):
         for col in names:
             if col not in schema.properties:
@@ -278,7 +295,10 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
                 checks.append(
                     _Check(
                         key,
-                        "dependencies",
+                        # Slow path's _keyword_of maps "required property …
+                        # is missing" to "required" regardless of whether it
+                        # came from dependentRequired — keep keyword parity.
+                        "required",
                         (lambda c: lambda b: _valid_mask(b[c]))(key),
                         f"object: required property {go_quote(dep)} is missing",
                     )
@@ -287,7 +307,7 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
             checks.append(
                 _Check(
                     key,
-                    "dependencies",
+                    "required",
                     (
                         lambda k, d: lambda b: _valid_mask(b[k]) & ~_valid_mask(b[d])
                     )(key, dep),
@@ -295,14 +315,25 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
                 )
             )
 
-    if schema.min_properties is not None or schema.max_properties is not None:
-        n_cols = len(names)  # NULLs vary per row: needs row-wise count
+    # One _Check per bound so each violation carries its own keyword and
+    # message (slow path emits distinct smaller/bigger strings,
+    # validate.go:517-522); NULLs vary per row so the key count is row-wise.
+    if schema.min_properties is not None:
         checks.append(
             _Check(
                 names[0],
-                "minProperties" if schema.min_properties is not None else "maxProperties",
-                _props_count_mask(names, schema.min_properties, schema.max_properties),
-                _props_count_message(schema.min_properties, schema.max_properties),
+                "minProperties",
+                _props_count_mask(names, schema.min_properties, None),
+                f"object: length is smaller than {schema.min_properties}",
+            )
+        )
+    if schema.max_properties is not None:
+        checks.append(
+            _Check(
+                names[0],
+                "maxProperties",
+                _props_count_mask(names, None, schema.max_properties),
+                f"object: length is bigger than {schema.max_properties}",
             )
         )
 
@@ -322,12 +353,6 @@ def _props_count_mask(names, min_p, max_p):
         return bad
 
     return mask
-
-
-def _props_count_message(min_p, max_p):
-    if min_p is not None:
-        return f"object: length is smaller than {min_p}"
-    return f"object: length is bigger than {max_p}"
 
 
 def _compile_property(col: str, prop: Schema, t: pa.DataType, static) -> list[_Check]:
@@ -435,10 +460,18 @@ def _enum_check(col, prop: Schema, t, is_ts) -> _Check:
             raise UnsupportedPlanError(f"composite enum values on column {col!r}")
     if is_ts:
         raise UnsupportedPlanError(f"enum on timestamp column {col!r}")
-    try:
-        value_set = pa.array(py_vals, type=t)
-    except (pa.ArrowInvalid, pa.ArrowTypeError):
-        # No enum value fits the column type → every non-null value fails.
+    # Mixed-type enums (e.g. ["a", 1] against a string column): only the
+    # values deep-equal-compatible with the column type can ever match
+    # (jsonequal.Equal compares type tags first, equal.go:177-185).  Build
+    # the is_in set from just those; if none fit, every non-null value fails.
+    fitting = [v for v in py_vals if _enum_value_fits(v, t)]
+    value_set = None
+    if fitting:
+        try:
+            value_set = pa.array(fitting, type=t)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            value_set = None
+    if value_set is None:
         def mask_all(b, c=col):
             return _valid_mask(b[c])
 
@@ -448,6 +481,30 @@ def _enum_check(col, prop: Schema, t, is_ts) -> _Check:
         return _np_bool(pc.invert(pc.is_in(b[c], value_set=vs))) & _valid_mask(b[c])
 
     return _Check(col, "enum", mask, _enum_msg(col))
+
+
+def _enum_value_fits(v, t: pa.DataType) -> bool:
+    """Can enum value ``v`` deep-equal any value of column type ``t``?
+
+    Explicit type-tag rules (not a pa.array try) because pyarrow silently
+    truncates e.g. ``pa.array([1.5], type=int64())`` to ``[1]``.
+    """
+    if v is None:
+        return pa.types.is_null(t)  # non-null values never equal JSON null
+    if isinstance(v, bool):
+        return pa.types.is_boolean(t)
+    if isinstance(v, str):
+        return pa.types.is_string(t) or pa.types.is_large_string(t)
+    numeric = (
+        pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t)
+    )
+    if isinstance(v, int):
+        return numeric
+    if isinstance(v, float):
+        if pa.types.is_integer(t):
+            return v.is_integer()  # 1.0 == 1 across lexemes (equal.go:39-79)
+        return numeric
+    return False
 
 
 def _enum_msg(col):

@@ -1,0 +1,190 @@
+"""Regression tests for the round-1 ADVICE findings: fast-path (vector/plan)
+vs slow-path divergences.  All pure Arrow — no Ray session needed."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from jsonschema_ray.core import parse
+from jsonschema_ray.stages.validate import SlowPathValidator, VectorValidator
+from jsonschema_ray.vector.plan import UnsupportedPlanError, compile_plan
+
+KEY = ["id", "keyword", "message"]
+
+
+def _diff(schema_json: str, table: pa.Table):
+    """Run both engines, return (fast_df, slow_df) sorted for comparison."""
+    vv = VectorValidator(schema_json, table.schema, id_cols=("id",))
+    sv = SlowPathValidator(schema_json, id_cols=("id",))
+    a = vv(table).to_pandas().sort_values(KEY).reset_index(drop=True)
+    b = sv(table).to_pandas().sort_values(KEY).reset_index(drop=True)
+    return a, b
+
+
+# -- ADVICE high #1: float bounds/multipleOf must use decimal lexemes -------
+
+
+def test_multiple_of_decimal_float():
+    # 0.3 IS a multiple of 0.1 under decimal-lexeme semantics (3/10 ÷ 1/10 = 3);
+    # the binary expansion Fraction(0.3)/Fraction(0.1) is not an integer.
+    schema = '{"type":"object","properties":{"x":{"multipleOf":0.1}}}'
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1", "r2"], pa.string()),
+            "x": pa.array([0.3, 0.25, None], pa.float64()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    assert list(a["id"]) == ["r1"]  # only 0.25 violates
+    assert "5/2 is not multiple of 1/10" in a["message"][0]
+
+
+def test_minimum_message_decimal_rational():
+    schema = '{"type":"object","properties":{"y":{"minimum":0.3},"z":{"maximum":0.1}}}'
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1"], pa.string()),
+            "y": pa.array([0.2, 0.5], pa.float64()),
+            "z": pa.array([0.05, 0.3], pa.float64()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    msgs = list(a["message"])
+    assert any("value 1/5 is smaller than 3/10" in m for m in msgs)
+    assert any("value 3/10 is bigger than 1/10" in m for m in msgs)
+
+
+# -- ADVICE high #2: additionalProperties schema form must not be dropped ---
+
+
+def test_additional_properties_schema_form_unsupported():
+    schema = parse(
+        '{"type":"object","properties":{"id":{"type":"string"}},'
+        '"additionalProperties":{"type":"number"}}'
+    )
+    arrow_schema = pa.schema([("id", pa.string()), ("x", pa.string())])
+    with pytest.raises(UnsupportedPlanError):
+        compile_plan(schema, arrow_schema)
+
+
+def test_additional_properties_schema_form_slow_path_flags():
+    schema = (
+        '{"type":"object","properties":{"id":{"type":"string"}},'
+        '"additionalProperties":{"type":"number"}}'
+    )
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1"], pa.string()),
+            "x": pa.array(["oops", None], pa.string()),
+        }
+    )
+    sv = SlowPathValidator(schema, id_cols=("id",))
+    out = sv(t).to_pandas()
+    assert list(out["id"]) == ["r0"]
+    assert out["keyword"][0] == "type"
+    assert "type is not allowed" in out["message"][0]
+
+
+def test_additional_properties_bool_true_still_vectorizes():
+    schema = parse(
+        '{"type":"object","properties":{"id":{"type":"string"}},'
+        '"additionalProperties":true}'
+    )
+    arrow_schema = pa.schema([("id", pa.string()), ("x", pa.string())])
+    plan = compile_plan(schema, arrow_schema)
+    assert plan.static_violations == []
+
+
+# -- ADVICE medium #3: mixed-type enum must not flag matching values --------
+
+
+def test_mixed_type_enum():
+    schema = (
+        '{"type":"object","properties":'
+        '{"s":{"enum":["a",1]},"n":{"enum":["a",1]}}}'
+    )
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1", "r2"], pa.string()),
+            "s": pa.array(["a", "b", None], pa.string()),
+            "n": pa.array([1, 2, None], pa.int64()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    flagged = set(zip(a["id"], a["keyword"]))
+    assert ("r1", "enum") in flagged  # s="b" and n=2 both violate
+    assert not any(i == "r0" for i, _ in flagged)  # "a" and 1 both match
+
+
+def test_enum_bool_never_equals_int():
+    # JSON true != 1 (type tags differ, equal.go:177-185).
+    schema = '{"type":"object","properties":{"n":{"enum":[true]}}}'
+    t = pa.table(
+        {
+            "id": pa.array(["r0"], pa.string()),
+            "n": pa.array([1], pa.int64()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    assert list(a["id"]) == ["r0"]
+
+
+def test_enum_nonintegral_float_on_int_column():
+    schema = '{"type":"object","properties":{"n":{"enum":[1.5]}}}'
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1"], pa.string()),
+            "n": pa.array([1, 2], pa.int64()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    assert set(a["id"]) == {"r0", "r1"}  # no int can equal 1.5
+
+
+# -- ADVICE low #4: min/maxProperties need distinct keywords/messages -------
+
+
+def test_min_max_properties_distinct_messages():
+    schema = '{"type":"object","minProperties":2,"maxProperties":2}'
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1", "r2"], pa.string()),
+            "a": pa.array([None, "x", "x"], pa.string()),
+            "b": pa.array([None, None, "y"], pa.string()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    by_id = dict(zip(a["id"], zip(a["keyword"], a["message"])))
+    assert by_id["r0"][0] == "minProperties"
+    assert "length is smaller than 2" in by_id["r0"][1]
+    assert by_id["r2"][0] == "maxProperties"
+    assert "length is bigger than 2" in by_id["r2"][1]
+    assert "r1" not in by_id
+
+
+# -- ADVICE low #5: dependentRequired keyword parity ------------------------
+
+
+def test_dependent_required_keyword_parity():
+    schema = (
+        '{"type":"object","properties":{"id":{"type":"string"}},'
+        '"dependencies":{"a":["b"]}}'
+    )
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1"], pa.string()),
+            "a": pa.array(["x", None], pa.string()),
+            "b": pa.array([None, None], pa.string()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    assert list(a["id"]) == ["r0"]
+    assert a["keyword"][0] == "required"  # matches _keyword_of on both paths
