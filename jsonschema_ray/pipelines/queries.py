@@ -656,13 +656,14 @@ def q_decode_features(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (exact broadcast matmul)."""
+    """Embedding-cosine near-duplicate pairs (auto-routed: exact broadcast
+    matmul while the matrix fits the object-store budget, LSH beyond)."""
     import ray.data as rd
 
     from ..stages.dedup import embedding_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=0.2, method="exact")
+    return embedding_dup_pairs(ds, threshold=0.2, method="auto")
 
 
 EMBEDDING_DUPS_SQL = """
@@ -1141,7 +1142,7 @@ def q_embed_dedup(sf_dir: str):
     emb = embed_texts(ds).map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
     )
-    return embedding_dup_pairs(emb, threshold=0.9, method="exact")
+    return embedding_dup_pairs(emb, threshold=0.9, method="auto")
 
 
 def q_role_tool_matrix(sf_dir: str):

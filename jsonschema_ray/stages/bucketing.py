@@ -23,13 +23,55 @@ __all__ = ["pick_num_buckets", "bucketed_map_groups", "group_bounds"]
 _BUCKET_COL = "__bucket"
 
 
+def _plan_size_estimate(ds) -> int | None:
+    """Byte-size estimate WITHOUT triggering execution.
+
+    ``Dataset.size_bytes()`` on a lazy derived dataset EXECUTES the whole
+    upstream plan (and the snapshot is not reused by datasets derived
+    afterwards), so calling it from a bucket-sizing heuristic silently
+    doubles every pipeline's work.  Instead: use the cached snapshot when
+    one exists, else walk the logical plan for metadata-known sizes (a
+    parquet read knows its size from footers alone).  A transform's output
+    size is approximated by its inputs' — the right order of magnitude for
+    sizing buckets."""
+    try:
+        if ds._plan.has_computed_output():
+            return ds.size_bytes()  # cached snapshot — free
+
+        def op_size(op) -> int | None:
+            md = op.infer_metadata()
+            if md.size_bytes is not None:
+                return md.size_bytes
+            deps = op.input_dependencies
+            if not deps:
+                return None
+            total = 0
+            for d in deps:
+                s = op_size(d)
+                if s is None:
+                    return None
+                total += s
+            return total
+
+        return op_size(ds._logical_plan.dag)
+    except Exception:
+        return None
+
+
 def pick_num_buckets(ds, num_buckets: int | None, target_bytes: int = 512 << 20) -> int:
     if num_buckets is not None:
         return num_buckets
-    try:
-        sz = ds.size_bytes() or 0
-    except Exception:
-        sz = 0
+    sz = _plan_size_estimate(ds)
+    if sz is None:
+        # No cheap size: scale with the cluster instead of executing the
+        # plan twice.  2 buckets/core keeps every core busy through stragglers.
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 16))
+        except Exception:
+            cpus = 16
+        return max(32, 2 * cpus)
     return max(32, int(sz // target_bytes) + 1)
 
 

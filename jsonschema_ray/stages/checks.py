@@ -223,15 +223,11 @@ def _run_bucket(df: pd.DataFrame, which: tuple[str, ...]) -> pa.Table:
 
 
 def _pick_buckets(ds, num_buckets: int | None) -> int:
-    if num_buckets is not None:
-        return num_buckets
     # Size P so one bucket's key columns (~25% of row bytes here) stay well
-    # under a worker's heap; metadata-only for parquet reads.
-    try:
-        sz = ds.size_bytes() or 0
-    except Exception:
-        sz = 0
-    return max(32, int(sz // (512 << 20)) + 1)
+    # under a worker's heap; never triggers plan execution (bucketing.py).
+    from .bucketing import pick_num_buckets
+
+    return pick_num_buckets(ds, num_buckets)
 
 
 def _bucketed_conv_checks(ds, which: tuple[str, ...], num_buckets: int | None, cols):

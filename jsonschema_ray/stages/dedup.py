@@ -353,7 +353,8 @@ def minhash_lsh_pairs(
     text_col="text",
     id_col="doc_id",
 ):
-    """Candidate pairs via banded LSH, verified with exact Jaccard.
+    """→ Dataset (a, b, jaccard): banded-LSH candidates verified with exact
+    Jaccard, end to end distributed.
 
     Precision 1.0 (every reported pair is verified); recall follows the LSH
     S-curve 1-(1-t^r)^b with r = k/bands.
@@ -416,40 +417,89 @@ def minhash_lsh_pairs(
         bucket_pairs,
     )
 
-    # Verify with exact Jaccard: the candidate set is small (LSH prunes it),
-    # so collect it, dedupe cross-band repeats, and ship the involved docs'
-    # shingle sets as a driver-side lookup.
-    pairs = cand.to_pandas().drop_duplicates(["a", "b"])
-    if len(pairs) == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
-            {"a": np.int64, "b": np.int64, "jaccard": np.float64}
+    # Verify with exact Jaccard, fully distributed — candidates and doc
+    # shingles never land on the driver (a near-dup-heavy 100 TB corpus can
+    # produce far more candidate pairs than a driver heap holds):
+    #  1. one pair-keyed exchange collapses cross-band duplicate pairs
+    #     (a true near-dup matches in many of the ``bands`` bands);
+    #  2. each pair explodes into two (doc_id, a, b) side rows, equi-joined
+    #     to the docs' shingle rows (one aligned hash exchange on doc_id);
+    #  3. one pair-keyed exchange co-locates both docs' shingles per pair —
+    #     shingle sets are deduped per doc, so intersection = shingles seen
+    #     from both sides, the same counting kernel jaccard_pairs_exact uses.
+    from .joins import hash_join
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["a", "b"])
+
+    cand = bucketed_map_groups(cand, ["a", "b"], dedup_pairs)
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b])),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+            }
         )
-    import ray
 
-    involved = set(pairs["a"]) | set(pairs["b"])
+    sides = cand.map_batches(explode_sides, batch_format="pyarrow")
+    sh = shingle_rows(ds, text_col, id_col, n)
+    joined = hash_join(
+        sides,
+        sh,
+        on="doc_id",
+        left_cols=["a", "b"],
+        right_cols=["shingle", "n_sh"],
+        how="inner",
+    )
 
-    def gather(t: pa.Table) -> pa.Table:
-        keep = [i for i, d in enumerate(t[id_col].to_pylist()) if d in involved]
-        sub = t.take(pa.array(keep, pa.int64()))
-        return pa.table({id_col: sub[id_col], text_col: sub[text_col]})
-
-    docs = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
-    shmap = {
-        int(did): _doc_shingles(text or "", n)
-        for did, text in zip(docs[id_col], docs[text_col])
-    }
-    out = []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        sa, sb = shmap.get(int(a)), shmap.get(int(b))
-        if sa is None or sb is None or len(sa) == 0:
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        jac = inter / (len(sa) + len(sb) - inter)
-        if jac >= threshold:
-            out.append((int(a), int(b), round(jac, 6)))
-    return pd.DataFrame(out, columns=["a", "b", "jaccard"]).astype(
+    _VERIFY_EMPTY = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
         {"a": np.int64, "b": np.int64, "jaccard": np.float64}
     )
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _VERIFY_EMPTY
+        # shared shingles appear exactly twice per pair (once per side)
+        shared = df[df.duplicated(["a", "b", "shingle"], keep=False)]
+        inter = (
+            shared.drop_duplicates(["a", "b", "shingle"])
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .rename("inter")
+        )
+        if inter.empty:
+            return _VERIFY_EMPTY
+        na = (
+            df[df["doc_id"] == df["a"]]
+            .drop_duplicates(["a", "b"])
+            .set_index(["a", "b"])["n_sh"]
+            .rename("na")
+        )
+        nb = (
+            df[df["doc_id"] == df["b"]]
+            .drop_duplicates(["a", "b"])
+            .set_index(["a", "b"])["n_sh"]
+            .rename("nb")
+        )
+        g = pd.DataFrame(inter).join(na).join(nb)
+        jac = g["inter"] / (g["na"] + g["nb"] - g["inter"])
+        keep = jac >= threshold  # NaN (an empty-text side) drops here
+        if not keep.any():
+            return _VERIFY_EMPTY
+        out = g[keep].reset_index()
+        return pd.DataFrame(
+            {
+                "a": out["a"].to_numpy(np.int64),
+                "b": out["b"].to_numpy(np.int64),
+                "jaccard": jac[keep].round(6).to_numpy(),
+            }
+        )
+
+    return bucketed_map_groups(joined, ["a", "b"], verify_bucket)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -502,13 +552,36 @@ def simhash64(ds, text_col="text", id_col="doc_id"):
 # -- embedding-cosine near-duplicates ---------------------------------------
 
 
+def _broadcast_budget_bytes(fraction: float = 0.2) -> int:
+    """Bytes a single broadcast side may occupy: a fraction of the object
+    store (one ``ray.put`` copy is shared by every actor)."""
+    try:
+        import ray
+
+        store = int(ray.cluster_resources().get("object_store_memory", 0))
+    except Exception:
+        store = 0
+    return int(store * fraction) if store else 2 << 30
+
+
+def _route_embedding_method(ds, budget_bytes: int | None = None) -> str:
+    """``exact`` while the embedding matrix fits the broadcast budget, else
+    ``lsh`` — decided from plan metadata, never by executing the plan."""
+    from .bucketing import _plan_size_estimate
+
+    sz = _plan_size_estimate(ds)
+    budget = budget_bytes if budget_bytes is not None else _broadcast_budget_bytes()
+    return "exact" if sz is not None and sz <= budget else "lsh"
+
+
 def embedding_dup_pairs(
     ds,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    method: str = "exact",
+    method: str = "auto",
     bits: int = 12,
+    tables: int = 3,
     seed: int = 23,
 ):
     """All (a < b) pairs with cosine similarity ≥ threshold.
@@ -518,36 +591,48 @@ def embedding_dup_pairs(
     over the cluster, zero shuffle.  Right whenever the matrix fits the
     object store (n·d·8 bytes; ~30 GB at n=10M, d=384).
 
-    ``method="lsh"`` is the 100 TB path: random-hyperplane codes bucket the
-    vectors, one hash shuffle on the code, and only same-bucket pairs are
-    scored (recall < 1 by construction; the exact variant is the test
-    oracle — near-identical vectors agree on every hyperplane sign with
-    probability ≈ 1 - d(θ)/π per bit).
+    ``method="lsh"`` is the 100 TB path: ``tables`` independent
+    random-hyperplane code tables bucket the vectors; a pair is scored when
+    its codes agree in ANY table, so recall is 1-(1-p^bits)^tables (≈0.996
+    at sim 0.999 with 12 bits × 3 tables, p = 1-θ/π per hyperplane).  Sims
+    are computed exactly inside buckets (precision 1.0); cross-table
+    duplicate pairs collapse in a final pair-keyed exchange.
+
+    ``method="auto"`` (default) routes on the dataset's metadata size
+    estimate vs the object-store broadcast budget — exact while the matrix
+    fits, LSH beyond (mirrors joins.auto_hash_join's measured routing).
     """
     import ray
 
     from .ann import _batch_matrix, _normalize
 
+    if method == "auto":
+        method = _route_embedding_method(ds)
+
     if method == "lsh":
         sample = ds.take(1)[0]
         d = len(sample[vec_col])
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((d, bits))
+        planes = rng.standard_normal((d, tables * bits))
+        pows = 1 << np.arange(bits)
 
         def add_code(t: pa.Table) -> pa.Table:
+            # one row per (vector, table); the table id rides in the code's
+            # high bits so buckets never mix tables
             m = _batch_matrix(t, vec_col)
-            code = (
-                ((_normalize(m) @ planes) > 0) @ (1 << np.arange(bits))
-                if m.size
-                else np.empty(0, np.int64)
-            )
-            return pa.table(
-                {
-                    id_col: t[id_col],
-                    vec_col: t[vec_col],
-                    "code": pa.array(code.astype(np.int64)),
-                }
-            )
+            nr = t.num_rows
+            if m.size:
+                proj = (_normalize(m) @ planes) > 0  # (n, tables*bits)
+                codes = np.empty((nr, tables), np.int64)
+                for ti in range(tables):
+                    codes[:, ti] = (
+                        proj[:, ti * bits : (ti + 1) * bits] @ pows
+                    ) | (ti << bits)
+            else:
+                codes = np.empty((0, tables), np.int64)
+            rep = np.repeat(np.arange(nr, dtype=np.int64), tables)
+            t2 = t.select([id_col, vec_col]).take(pa.array(rep))
+            return t2.append_column("code", pa.array(codes.reshape(-1)))
 
         from .bucketing import bucketed_map_groups, group_bounds
 
@@ -584,13 +669,31 @@ def embedding_dup_pairs(
         coded = ds.select_columns([id_col, vec_col]).map_batches(
             add_code, batch_format="pyarrow"
         )
-        return bucketed_map_groups(coded, ["code"], pairs_in_bucket)
+        pairs = bucketed_map_groups(coded, ["code"], pairs_in_bucket)
+        return bucketed_map_groups(
+            pairs, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"])
+        )
 
-    # exact: broadcast the full normalized matrix, one matmul per batch
-    all_df = ds.select_columns([id_col, vec_col]).to_pandas()
-    order = np.argsort(all_df[id_col].to_numpy())
-    ids_all = all_df[id_col].to_numpy()[order]
-    mat_all = _normalize(np.vstack(all_df[vec_col].to_numpy()[order]).astype(np.float64))
+    # exact: broadcast the full normalized matrix, one matmul per batch.
+    # The matrix is assembled from streamed Arrow batches — flat float
+    # buffers reshaped per batch, no pandas object-array detour — so the
+    # only full-size allocations are the matrix itself and its sort copy.
+    ids_parts: list[np.ndarray] = []
+    mat_parts: list[np.ndarray] = []
+    for t in ds.select_columns([id_col, vec_col]).iter_batches(
+        batch_format="pyarrow", batch_size=32768
+    ):
+        if t.num_rows:
+            ids_parts.append(t[id_col].to_numpy(zero_copy_only=False))
+            mat_parts.append(_batch_matrix(t, vec_col))
+    if not ids_parts:
+        return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
+            {"a": np.int64, "b": np.int64, "sim": np.float64}
+        )
+    ids_all = np.concatenate(ids_parts)
+    order = np.argsort(ids_all)
+    ids_all = ids_all[order]
+    mat_all = _normalize(np.vstack(mat_parts)[order])
     ref = ray.put({"ids": ids_all, "matrix": mat_all})
 
     class PairScorer:

@@ -43,7 +43,7 @@ def test_minhash_recall_against_exact():
     from jsonschema_ray.stages.dedup import jaccard_pairs_exact, minhash_lsh_pairs
 
     exact = jaccard_pairs_exact(_docs(), threshold=0.5).to_pandas()
-    lsh = minhash_lsh_pairs(_docs(), threshold=0.5)
+    lsh = minhash_lsh_pairs(_docs(), threshold=0.5).to_pandas()
     e = {(int(a), int(b)) for a, b in zip(exact["a"], exact["b"])}
     l = {(int(a), int(b)) for a, b in zip(lsh["a"], lsh["b"])}
     assert l <= e, "LSH reported a pair the exact method rejects (precision < 1)"
@@ -54,6 +54,28 @@ def test_minhash_recall_against_exact():
     lm = {(int(a), int(b)): j for a, b, j in lsh.itertuples(index=False)}
     for pair in l & e:
         assert abs(em[pair] - lm[pair]) < 1e-9
+
+
+def test_minhash_heavy_dup_stays_distributed():
+    """A planted clique of 500 identical docs → 124,750 verified pairs —
+    the verification stage must survive a candidate set this dense (it
+    runs as distributed exchanges; the driver only sees the final count)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import minhash_lsh_pairs
+
+    n_docs = 500
+    text = " ".join(f"tok{i}" for i in range(12))
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": text})
+    out = minhash_lsh_pairs(rd.from_pandas(df), threshold=0.5)
+    agg = out.map_batches(
+        lambda t: pd.DataFrame(
+            {"n": [len(t)], "j_min": [t["jaccard"].min() if len(t) else 1.0]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    assert agg["n"].sum() == n_docs * (n_docs - 1) // 2
+    assert agg["j_min"].min() == 1.0
 
 
 def test_simhash_deterministic_and_near_dup_property():
@@ -215,6 +237,57 @@ def test_embedding_dup_pairs_exact_vs_lsh():
     got_lsh = set(zip(approx["a"], approx["b"]))
     assert got_lsh <= got_exact  # LSH reports no false positives (verified sims)
     assert len(got_lsh & planted) / len(planted) >= 0.8  # high recall on near-identical
+
+
+def test_embedding_dedup_auto_routing():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import _route_embedding_method
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array([[0.1] * 8, [0.2] * 8], pa.list_(pa.float64())),
+            }
+        )
+    )
+    assert _route_embedding_method(ds) == "exact"  # tiny vs object store
+    assert _route_embedding_method(ds, budget_bytes=1) == "lsh"  # over budget
+
+
+def test_embedding_lsh_recall_at_scale():
+    """sf0.1-scale LSH run: 20k vectors with 1k planted near-identical
+    pairs; multi-table LSH must reach recall ≥ 0.95 vs the exact method
+    (VERDICT round-1 item 2), with precision 1.0 (verified sims)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    n_base, d = 20_000, 64
+    base = rng.standard_normal((n_base, d))
+    dup_src = rng.choice(n_base, 1000, replace=False)
+    dups = base[dup_src] + 0.02 * rng.standard_normal((1000, d))
+    mat = np.vstack([base, dups])
+    ids = np.arange(len(mat), dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+            }
+        )
+    )
+    exact = embedding_dup_pairs(ds, threshold=0.95, method="exact").to_pandas()
+    e = set(zip(exact["a"], exact["b"]))
+    assert len(e) >= 1000  # every planted pair has cos ≈ 0.9996
+    lsh = embedding_dup_pairs(ds, threshold=0.95, method="lsh").to_pandas()
+    l = set(zip(lsh["a"], lsh["b"]))
+    assert l <= e  # precision 1.0
+    assert len(l & e) / len(e) >= 0.95  # multi-table recall bar
 
 
 def test_ivf_topk_recall_on_planted():
