@@ -361,28 +361,53 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 def q_distinct_exact(sf_dir: str):
     """Exact distinct counts via hash-partitioned groupby (the exact
-    counterpart of the HLL sketch)."""
+    counterpart of the HLL sketch).
+
+    Single pass for all three columns: each batch emits its (column,
+    value) uniques (the combiner — one row per batch-distinct value, no
+    NULLs), ONE value-keyed exchange dedupes across batches and counts per
+    column per bucket, and the driver sums the ≤3 rows per bucket."""
+    import numpy as np
     import ray.data as rd
 
+    from ..stages.bucketing import bucketed_map_groups
+
     path = transcripts_path(sf_dir)
-    ds = rd.read_parquet(path)
-    rows = []
-    for col in ("conv_id", "role", "tool"):
-        # combiner: per-batch unique + null drop BEFORE the shuffle, so the
-        # groupby only moves one row per (batch, value) and never sees a
-        # NULL sort key (which crashes Ray's sort-based aggregate)
-        n = (
-            ds.select_columns([col])
-            .map_batches(
-                lambda t, c=col: pa.table({c: t[c].combine_chunks().drop_null().unique()}),
-                batch_format="pyarrow",
-            )
-            .groupby(col)
-            .count()
-            .count()
+    cols = ("conv_id", "role", "tool")
+    ds = rd.read_parquet(path, columns=list(cols))
+
+    def partials(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = t[c].combine_chunks().drop_null().unique()
+            names.append(np.full(len(u), c, dtype=object))
+            vals.append(u.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "column_name": pa.array(np.concatenate(names), pa.string()),
+                "value": pa.array(np.concatenate(vals), pa.string()),
+            }
         )
-        rows.append({"column_name": col, "n_distinct": int(n)})
-    return pa.Table.from_pylist(rows)
+
+    def count_bucket(df):
+        return (
+            df.drop_duplicates(["column_name", "value"])
+            .groupby("column_name", sort=False)
+            .size()
+            .reset_index(name="n_distinct")
+        )
+
+    per_bucket = bucketed_map_groups(
+        ds.map_batches(partials, batch_format="pyarrow"), ["value"], count_bucket
+    ).to_pandas()
+    out = (
+        per_bucket.groupby("column_name", sort=False)["n_distinct"]
+        .sum()
+        .reset_index()
+        .sort_values("column_name")
+    )
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def distinct_exact_sql(path: str) -> str:

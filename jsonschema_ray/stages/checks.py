@@ -342,8 +342,14 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
 
     Returns the same violation-row schema/multiset as
     :func:`conv_checks_violations` (modulo row order).
+
+    Two exchanges + one barrier: the local pass's output (violations + one
+    summary row per range — both sparse) feeds straight into the conv-keyed
+    stitch exchange, where violations pass through untouched and summaries
+    resolve boundaries.  Only the stitched result (violations + the rare
+    ts-fixup markers) is materialized — never the input rows.
     """
-    from .bucketing import pick_num_buckets
+    from .bucketing import bucketed_map_groups, pick_num_buckets
 
     nb = pick_num_buckets(ds, num_buckets)
 
@@ -372,37 +378,24 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
             ),
             batch_format="pandas",
         )
-    ).materialize()  # small: violations + 1 summary row per R turns
+    )
 
-    viol = local.filter(expr="keyword != '__summary'").map_batches(
-        lambda t: pa.table(
+    # unpack the composite conv id for every row so the stitch exchange can
+    # key on the BASE conversation id; local violations ride along as
+    # passengers (they are sparse), giving `local` exactly one consumer
+    def split_conv(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern(t["conv_id"], "\x1f")
+        return pa.table(
             {
-                "conv_id": pc.list_element(pc.split_pattern(t["conv_id"], "\x1f"), 0),
+                "conv": pc.list_element(split, 0),
+                "salt": pc.list_element(split, 1).cast(pa.int64()),
                 "turn_idx": t["turn_idx"],
                 "keyword": t["keyword"],
                 "message": t["message"],
             }
         )
-        if t.num_rows
-        else EMPTY_VIOLATIONS,
-        batch_format="pyarrow",
-    )
 
-    # unpack summary rows into typed columns so the stitch shuffle can key
-    # on the BASE conversation id (every range of a conv in one group)
-    def unpack(t: pa.Table) -> pa.Table:
-        split = pc.split_pattern(t["conv_id"], "\x1f")
-        vals = pc.split_pattern(t["message"], "|")
-        return pa.table(
-            {
-                "conv": pc.list_element(split, 0),
-                "salt": pc.list_element(split, 1).cast(pa.int64()),
-                "min_turn": pc.list_element(vals, 0).cast(pa.int64()),
-                "max_turn": pc.list_element(vals, 1).cast(pa.int64()),
-                "min_ts": pc.list_element(vals, 2).cast(pa.int64()),
-                "max_ts": pc.list_element(vals, 3).cast(pa.int64()),
-            }
-        )
+    tagged = local.map_batches(split_conv, batch_format="pyarrow")
 
     # summary stitching: per conversation, ordered by salt
     def stitch(df: pd.DataFrame) -> pa.Table:
@@ -470,16 +463,49 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
         )
         return pa.concat_tables([out, fx]) if fx.num_rows else out
 
-    from .bucketing import bucketed_map_groups
+    def stitch_bucket(df: pd.DataFrame) -> pa.Table:
+        is_sum = (df["keyword"] == "__summary").to_numpy()
+        parts = []
+        passv = df[~is_sum]
+        if len(passv):  # local violations pass through with the base conv id
+            parts.append(
+                pa.table(
+                    {
+                        "conv_id": pa.array(passv["conv"].astype(str), pa.string()),
+                        "turn_idx": pa.array(
+                            passv["turn_idx"].to_numpy().astype(np.int32), pa.int32()
+                        ),
+                        "keyword": pa.array(passv["keyword"].astype(str), pa.string()),
+                        "message": pa.array(passv["message"].astype(str), pa.string()),
+                    }
+                )
+            )
+        summ = df[is_sum]
+        if len(summ):
+            vals = summ["message"].str.split("|", expand=True).astype(np.int64)
+            parts.append(
+                stitch(
+                    pd.DataFrame(
+                        {
+                            "conv": summ["conv"].to_numpy(),
+                            "salt": summ["salt"].to_numpy(),
+                            "min_turn": vals[0].to_numpy(),
+                            "max_turn": vals[1].to_numpy(),
+                            "min_ts": vals[2].to_numpy(),
+                            "max_ts": vals[3].to_numpy(),
+                        }
+                    )
+                )
+            )
+        if not parts:
+            return EMPTY_VIOLATIONS
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
-    summaries = local.filter(expr="keyword == '__summary'").map_batches(
-        unpack, batch_format="pyarrow"
-    )
-    stitched = bucketed_map_groups(summaries, ["conv"], stitch).materialize()
-    boundary_viol = stitched.filter(expr="keyword != '__fixup'")
+    # single barrier: holds only violation + fixup rows, never the input
+    stitched = bucketed_map_groups(tagged, ["conv"], stitch_bucket).materialize()
 
     fixups = stitched.filter(expr="keyword == '__fixup'").to_pandas()
-    parts = [viol, boundary_viol]
+    parts = [stitched.filter(expr="keyword != '__fixup'")]
     if len(fixups):
         # Second scan over the rows of AFFECTED ranges only (sparse by
         # assumption: a range needs fixup only when an earlier range's max
@@ -493,20 +519,29 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
             (c, int(s)): int(m)
             for c, s, m in zip(fixups["conv_id"], fixups["turn_idx"], fixups["message"])
         }
-        bref = ray.put(bounds)
+        # membership is tested per batch with one vectorized np.isin on the
+        # combined (conv, salt) hash; fixup_bucket re-checks the dict so a
+        # hash collision can only cost work, never correctness
+        kh = np.unique(
+            pd.util.hash_array(
+                np.asarray([c for c, _ in bounds], dtype=object)
+            )
+            * np.uint64(1000003)
+            ^ pd.util.hash_array(np.asarray([s for _, s in bounds], dtype=np.int64))
+        )
+        bref = ray.put({"bounds": bounds, "hash": kh})
 
         def keep_affected(t: pa.Table) -> pa.Table:
-            b = ray.get(bref)
+            side = ray.get(bref)
             conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
             salt = (
                 t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
                 // range_size
             )
-            keep = np.fromiter(
-                ((conv[i], int(salt[i])) in b for i in range(len(conv))),
-                dtype=bool,
-                count=len(conv),
-            )
+            h = pd.util.hash_array(conv.astype(object)) * np.uint64(
+                1000003
+            ) ^ pd.util.hash_array(salt)
+            keep = np.isin(h, side["hash"])
             idx = pa.array(np.flatnonzero(keep).astype(np.int64))
             out = t.take(idx)
             return out.append_column(
@@ -514,9 +549,11 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
             )
 
         def fixup_bucket(df: pd.DataFrame) -> pa.Table:
-            b = ray.get(bref)
+            b = ray.get(bref)["bounds"]
             out = []
             for (c, s), g in df.groupby(["conv_id", "_salt"], sort=False):
+                if (c, int(s)) not in b:  # hash-collision stowaway
+                    continue
                 bound = pd.Timestamp(b[(c, int(s))])
                 g = g.sort_values("turn_idx", kind="stable")
                 per_turn_max = g.groupby("turn_idx")["ts"].max()

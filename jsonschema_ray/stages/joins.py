@@ -242,15 +242,15 @@ def salted_hash_join(
 
     import ray
 
-    href = ray.put(hot_keys)
+    # broadcast the hot keys as a sorted array once; per-batch membership is
+    # one vectorized np.isin, not a Python scan
+    href = ray.put(np.asarray(sorted(hot_keys)))
 
     def tag(side: str, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
-            hot = ray.get(href)
+            hot_arr = ray.get(href)
             key = t[on].combine_chunks().to_numpy(zero_copy_only=False)
-            is_hot = np.fromiter(
-                (k in hot for k in key), dtype=bool, count=len(key)
-            )
+            is_hot = np.isin(key, hot_arr)
             base = pd.util.hash_array(key)
             reps = np.ones(len(key), dtype=np.int64)
             if side == "R":
