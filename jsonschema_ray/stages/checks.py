@@ -287,17 +287,49 @@ def conv_checks_violations(ds, num_buckets: int | None = None):
 #   and those bounds are broadcast for a filtered second scan of the rows.
 
 
-def _salted_local(df: pd.DataFrame, range_size: int) -> pa.Table:
-    """Local violations + one '__summary' row per (conv_id, salt) range."""
+_INT64_MIN = np.iinfo(np.int64).min
+
+
+def _ts_order_bounded(df: pd.DataFrame, bmap: dict) -> pa.Table:
+    """:func:`_ts_order_in_bucket` with a per-range incoming bound — the max
+    ts of all earlier ranges of the conversation, from the stitch pass —
+    folded into the prefix max.  Flags exactly the union the separate
+    local-pass + fixup-pass pair used to produce."""
+    per_turn_max = df.groupby(["conv_id", "turn_idx"], sort=False)["ts"].max()
+    bound = (
+        per_turn_max.groupby(level="conv_id").cummax().groupby(level="conv_id").shift(1)
+    ).rename("_bound").reset_index()
+    m = df.merge(bound, on=["conv_id", "turn_idx"], how="left", sort=False)
+    eff = m["_bound"].to_numpy("datetime64[ns]").view("int64")  # NaT → int64 min
+    if bmap:
+        # exact int64 bounds via a nullable-Int64 merge (a float map column
+        # would lose ns precision above 2^53)
+        bdf = pd.DataFrame(
+            {
+                "conv_id": list(bmap.keys()),
+                "_inc": pd.array(list(bmap.values()), dtype="Int64"),
+            }
+        )
+        m2 = m.merge(bdf, on="conv_id", how="left", sort=False)
+        inc = m2["_inc"].fillna(_INT64_MIN).to_numpy(np.int64)
+        eff = np.maximum(eff, inc)
+    ts = m["ts"].to_numpy("datetime64[ns]").view("int64")
+    bad = (ts < eff) & (ts != _INT64_MIN)  # NaT ts never violates ordering
+    if not bad.any():
+        return EMPTY_VIOLATIONS
+    return _violations_table(
+        m.loc[bad], "order", ["ts decreases within conversation"] * int(bad.sum())
+    )
+
+
+def _salted_local_checks(df: pd.DataFrame, bmap: dict) -> pa.Table:
+    """Per-range checks with incoming ts bounds already known: uniqueItems,
+    within-range contiguity (range starts belong to the stitch pass), and
+    ts ordering against max(local prefix, incoming bound).  ``df.conv_id``
+    is the composite ``<conv>\\x1f<salt>`` range key; the output carries
+    the base conversation id."""
     df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
-    parts = [
-        _dups_in_bucket(df),
-        _ts_order_in_bucket(df),
-    ]
-    # local contiguity: within a range only; range starts are checked
-    # against the previous range's summary, except the very first range of
-    # a conversation (salt == min salt is unknown here — the summary pass
-    # owns the start-at-0 check too, so suppress first-row checks locally)
+    parts = [_dups_in_bucket(df), _ts_order_bounded(df, bmap)]
     conv = df["conv_id"].to_numpy()
     got = df["turn_idx"].to_numpy()
     n = len(got)
@@ -312,90 +344,79 @@ def _salted_local(df: pd.DataFrame, range_size: int) -> pa.Table:
         if len(pos):
             msgs = [f"turn_idx {got[p]} does not follow {prv[p]}" for p in pos]
             parts.append(_violations_table(df.iloc[pos], "contiguity", msgs))
-    g = df.groupby("conv_id", sort=False).agg(
-        min_turn=("turn_idx", "min"),
-        max_turn=("turn_idx", "max"),
-        min_ts=("ts", "min"),
-        max_ts=("ts", "max"),
-    )
-    summary = pa.table(
-        {
-            "conv_id": pa.array(g.index.astype(str), pa.string()),
-            "turn_idx": pa.array(g["min_turn"].to_numpy(), pa.int32()),
-            "keyword": pa.array(["__summary"] * len(g), pa.string()),
-            "message": pa.array(
-                [
-                    f"{int(r.min_turn)}|{int(r.max_turn)}|{r.min_ts.value}|{r.max_ts.value}"
-                    for r in g.itertuples()
-                ],
-                pa.string(),
-            ),
-        }
-    )
-    parts = [p for p in parts if p.num_rows > 0] + [summary]
-    return pa.concat_tables(parts)
+    parts = [p for p in parts if p.num_rows > 0]
+    if not parts:
+        return EMPTY_VIOLATIONS
+    out = pa.concat_tables(parts)
+    base = pc.list_element(pc.split_pattern(out["conv_id"], "\x1f"), 0)
+    return out.set_column(0, "conv_id", base)
 
 
 def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = None):
     """Skew-proof uniqueItems + contiguity + order: shuffle keyed by
-    (conv_id, turn_idx // range_size), stitch with per-range summaries.
+    (conv_id, turn_idx // range_size), stitched with per-range summaries.
 
     Returns the same violation-row schema/multiset as
     :func:`conv_checks_violations` (modulo row order).
 
-    Two exchanges + one barrier: the local pass's output (violations + one
-    summary row per range — both sparse) feeds straight into the conv-keyed
-    stitch exchange, where violations pass through untouched and summaries
-    resolve boundaries.  Only the stitched result (violations + the rare
-    ts-fixup markers) is materialized — never the input rows.
+    Bounds-first, two passes over the input:
+
+    1. a combiner pass reduces each batch to per-(conv, range) min/max
+       turn + ts partials (tiny rows — no full exchange), and one
+       conv-keyed exchange stitches them into boundary-contiguity
+       violations plus the incoming ts bound of each AFFECTED range
+       (sparse by assumption);
+    2. the one full exchange, keyed (conv_id, turn_idx // R), runs every
+       local check with those bounds already broadcast — no summary rows,
+       no post-hoc fixup scan, and the only barrier is the tiny stitched
+       output.
     """
+    import ray
+
     from .bucketing import bucketed_map_groups, pick_num_buckets
 
-    nb = pick_num_buckets(ds, num_buckets)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
+    # -- pass 1: combiner partials → conv-keyed stitch → bounds --
+    def partials(t: pa.Table) -> pa.Table:
         conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        salt = (
+        turn = (
             t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            // range_size
         )
-        h = pd.util.hash_array(conv.astype(object)) * np.uint64(1000003) ^ pd.util.hash_array(
-            salt
-        )
-        t = t.append_column("_salt", pa.array(salt.astype(np.int32)))
-        return t.append_column("_b", pa.array((h % nb).astype(np.int32)))
-
-    local = (
-        ds.select_columns(["conv_id", "turn_idx", "ts"])
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(
-            lambda g: _salted_local(
-                g.drop(columns=["_b", "_salt"]).assign(
-                    conv_id=g["conv_id"].astype(str) + "\x1f" + g["_salt"].astype(str)
-                ),
-                range_size,
-            ),
-            batch_format="pandas",
-        )
-    )
-
-    # unpack the composite conv id for every row so the stitch exchange can
-    # key on the BASE conversation id; local violations ride along as
-    # passengers (they are sparse), giving `local` exactly one consumer
-    def split_conv(t: pa.Table) -> pa.Table:
-        split = pc.split_pattern(t["conv_id"], "\x1f")
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "conv": pc.list_element(split, 0),
-                "salt": pc.list_element(split, 1).cast(pa.int64()),
-                "turn_idx": t["turn_idx"],
-                "keyword": t["keyword"],
-                "message": t["message"],
+                "conv": conv,
+                "salt": turn // range_size,
+                "turn": turn,
+                "ts": t["ts"].combine_chunks().to_pandas(),
             }
         )
+        g = (
+            df.groupby(["conv", "salt"], sort=False)
+            .agg(
+                min_turn=("turn", "min"),
+                max_turn=("turn", "max"),
+                min_ts=("ts", "min"),
+                max_ts=("ts", "max"),
+            )
+            .reset_index()
+        )
+        # int64 ns epoch; an all-NaT range gets the int64-min sentinel,
+        # which can only over-mark a range as affected (pass 2 is exact)
+        g["min_ts"] = g["min_ts"].to_numpy("datetime64[ns]").view("int64")
+        g["max_ts"] = g["max_ts"].to_numpy("datetime64[ns]").view("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    tagged = local.map_batches(split_conv, batch_format="pyarrow")
+    def stitch_bucket(df: pd.DataFrame) -> pa.Table:
+        merged = (
+            df.groupby(["conv", "salt"], sort=False)
+            .agg(
+                min_turn=("min_turn", "min"),
+                max_turn=("max_turn", "max"),
+                min_ts=("min_ts", "min"),
+                max_ts=("max_ts", "max"),
+            )
+            .reset_index()
+        )
+        return stitch(merged)
 
     # summary stitching: per conversation, ordered by salt
     def stitch(df: pd.DataFrame) -> pa.Table:
@@ -463,123 +484,59 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
         )
         return pa.concat_tables([out, fx]) if fx.num_rows else out
 
-    def stitch_bucket(df: pd.DataFrame) -> pa.Table:
-        is_sum = (df["keyword"] == "__summary").to_numpy()
-        parts = []
-        passv = df[~is_sum]
-        if len(passv):  # local violations pass through with the base conv id
-            parts.append(
-                pa.table(
-                    {
-                        "conv_id": pa.array(passv["conv"].astype(str), pa.string()),
-                        "turn_idx": pa.array(
-                            passv["turn_idx"].to_numpy().astype(np.int32), pa.int32()
-                        ),
-                        "keyword": pa.array(passv["keyword"].astype(str), pa.string()),
-                        "message": pa.array(passv["message"].astype(str), pa.string()),
-                    }
-                )
-            )
-        summ = df[is_sum]
-        if len(summ):
-            vals = summ["message"].str.split("|", expand=True).astype(np.int64)
-            parts.append(
-                stitch(
-                    pd.DataFrame(
-                        {
-                            "conv": summ["conv"].to_numpy(),
-                            "salt": summ["salt"].to_numpy(),
-                            "min_turn": vals[0].to_numpy(),
-                            "max_turn": vals[1].to_numpy(),
-                            "min_ts": vals[2].to_numpy(),
-                            "max_ts": vals[3].to_numpy(),
-                        }
-                    )
-                )
-            )
-        if not parts:
-            return EMPTY_VIOLATIONS
-        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    summ = ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
+        partials, batch_format="pyarrow"
+    ).materialize()  # tiny: one partial row per (conv, range) per batch
+    if summ.count() <= 2_000_000:
+        # small partial set (~100 MB ceiling): stitch on the driver and
+        # skip a whole exchange's fixed cost
+        import ray.data as _rd
 
-    # single barrier: holds only violation + fixup rows, never the input
-    stitched = bucketed_map_groups(tagged, ["conv"], stitch_bucket).materialize()
+        stitched_tbl = stitch_bucket(summ.to_pandas())
+        is_fix = pc.equal(stitched_tbl["keyword"], "__fixup")
+        fixups = stitched_tbl.filter(is_fix).to_pandas()
+        boundary = _rd.from_arrow(stitched_tbl.filter(pc.invert(is_fix)))
+    else:
+        # conv-keyed distributed stitch — the 100 TB path
+        stitched = bucketed_map_groups(summ, ["conv"], stitch_bucket).materialize()
+        fixups = stitched.filter(expr="keyword == '__fixup'").to_pandas()
+        boundary = stitched.filter(expr="keyword != '__fixup'")
+    bmap = {
+        f"{c}\x1f{int(s)}": int(m)
+        for c, s, m in zip(fixups["conv_id"], fixups["turn_idx"], fixups["message"])
+    }
+    bref = ray.put(bmap)
 
-    fixups = stitched.filter(expr="keyword == '__fixup'").to_pandas()
-    parts = [stitched.filter(expr="keyword != '__fixup'")]
-    if len(fixups):
-        # Second scan over the rows of AFFECTED ranges only (sparse by
-        # assumption: a range needs fixup only when an earlier range's max
-        # ts exceeds its min ts).  The bound map is broadcast once
-        # (ray.put); a grouped pass re-derives each range's local prefix so
-        # rows the local pass already flagged are not emitted twice — the
-        # fixup emits exactly {ts < incoming_bound} \ {ts < local_prefix}.
-        import ray
+    # -- pass 2: the one full exchange, bounds already broadcast --
+    nb = pick_num_buckets(ds, num_buckets)
 
-        bounds = {
-            (c, int(s)): int(m)
-            for c, s, m in zip(fixups["conv_id"], fixups["turn_idx"], fixups["message"])
-        }
-        # membership is tested per batch with one vectorized np.isin on the
-        # combined (conv, salt) hash; fixup_bucket re-checks the dict so a
-        # hash collision can only cost work, never correctness
-        kh = np.unique(
-            pd.util.hash_array(
-                np.asarray([c for c, _ in bounds], dtype=object)
-            )
-            * np.uint64(1000003)
-            ^ pd.util.hash_array(np.asarray([s for _, s in bounds], dtype=np.int64))
+    def add_bucket(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        salt = (
+            t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            // range_size
         )
-        bref = ray.put({"bounds": bounds, "hash": kh})
-
-        def keep_affected(t: pa.Table) -> pa.Table:
-            side = ray.get(bref)
-            conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            salt = (
-                t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-                // range_size
-            )
-            h = pd.util.hash_array(conv.astype(object)) * np.uint64(
-                1000003
-            ) ^ pd.util.hash_array(salt)
-            keep = np.isin(h, side["hash"])
-            idx = pa.array(np.flatnonzero(keep).astype(np.int64))
-            out = t.take(idx)
-            return out.append_column(
-                "_salt", pa.array(salt[keep].astype(np.int64))
-            )
-
-        def fixup_bucket(df: pd.DataFrame) -> pa.Table:
-            b = ray.get(bref)["bounds"]
-            out = []
-            for (c, s), g in df.groupby(["conv_id", "_salt"], sort=False):
-                if (c, int(s)) not in b:  # hash-collision stowaway
-                    continue
-                bound = pd.Timestamp(b[(c, int(s))])
-                g = g.sort_values("turn_idx", kind="stable")
-                per_turn_max = g.groupby("turn_idx")["ts"].max()
-                loc = g["turn_idx"].map(per_turn_max.cummax().shift(1))
-                emit = (g["ts"] < bound) & ~(g["ts"] < loc)
-                if emit.any():
-                    sub = g.loc[emit.to_numpy()]
-                    out.append(
-                        _violations_table(
-                            sub,
-                            "order",
-                            ["ts decreases within conversation"] * int(emit.sum()),
-                        )
-                    )
-            return pa.concat_tables(out) if out else EMPTY_VIOLATIONS
-
-        affected_rows = ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
-            keep_affected, batch_format="pyarrow"
+        h = pd.util.hash_array(conv.astype(object)) * np.uint64(1000003) ^ pd.util.hash_array(
+            salt
         )
-        parts.append(
-            bucketed_map_groups(affected_rows, ["conv_id", "_salt"], fixup_bucket)
+        t = t.append_column("_salt", pa.array(salt.astype(np.int32)))
+        return t.append_column("_b", pa.array((h % nb).astype(np.int32)))
+
+    def local_bucket(g: pd.DataFrame) -> pa.Table:
+        return _salted_local_checks(
+            g.drop(columns=["_b", "_salt"]).assign(
+                conv_id=g["conv_id"].astype(str) + "\x1f" + g["_salt"].astype(str)
+            ),
+            ray.get(bref),
         )
-    out = parts[0]
-    if len(parts) > 1:
-        out = out.union(*parts[1:])
-    return out
+
+    local = (
+        ds.select_columns(["conv_id", "turn_idx", "ts"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(local_bucket, batch_format="pandas")
+    )
+    return boundary.union(local)
 
 
 def max_conversation_size(ds) -> int:
