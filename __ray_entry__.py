@@ -74,13 +74,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_events": q.q_top_events,
         "q_role_tool_matrix": q.q_role_tool_matrix,
         "q_ngram_counts": q.q_ngram_counts,
-        # rows-only (non-SQL-expressible; pytest holds their oracles)
         "q_minhash_pairs": q.q_minhash_pairs,
-        "q_simhash": q.q_simhash,
-        "q_fingerprints": q.q_fingerprints,
         "q_hll_distinct": q.q_hll_distinct,
         "q_drift_stats": q.q_drift_stats,
         "q_decode_features": q.q_decode_features,
+        "q_conformance_summary": q.q_conformance_summary,
+        # rows-only (non-SQL-expressible; pytest holds their oracles)
+        "q_simhash": q.q_simhash,
+        "q_fingerprints": q.q_fingerprints,
         "q_ivf_topk": q.q_ivf_topk,
         "q_conformance": q.q_conformance,
         "q_embed_dedup": q.q_embed_dedup,
@@ -126,4 +127,13 @@ def oracle_sql() -> dict[str, str]:
         "q_top_events": q.TOP_EVENTS_SQL,
         "q_role_tool_matrix": q.role_tool_matrix_sql(path),
         "q_ngram_counts": q.NGRAM_COUNTS_SQL,
+        # LSH pairs are verified with exact Jaccard and deterministic
+        # (seeded), so the exact inverted-index SQL is a valid oracle here
+        "q_minhash_pairs": q.JACCARD_SQL,
+        "q_hll_distinct": q.hll_distinct_sql(path),
+        "q_drift_stats": q.drift_stats_sql(
+            transcripts_path(SF01, "clean"), transcripts_path(SF01, "drift")
+        ),
+        "q_decode_features": q.DECODE_FEATURES_SQL,
+        "q_conformance_summary": q.CONFORMANCE_SUMMARY_SQL,
     }

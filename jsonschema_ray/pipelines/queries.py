@@ -359,21 +359,17 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
-def q_distinct_exact(sf_dir: str):
-    """Exact distinct counts via hash-partitioned groupby (the exact
-    counterpart of the HLL sketch).
-
-    Single pass for all three columns: each batch emits its (column,
-    value) uniques (the combiner — one row per batch-distinct value, no
-    NULLs), ONE value-keyed exchange dedupes across batches and counts per
-    column per bucket, and the driver sums the ≤3 rows per bucket."""
+def _distinct_counts_onepass(path: str, cols: tuple[str, ...]) -> dict[str, int]:
+    """One-pass exact distinct counts for several string columns: each
+    batch emits its (column, value) uniques (the combiner — one row per
+    batch-distinct value, no NULLs), ONE value-keyed exchange dedupes
+    across batches and counts per column per bucket, and the driver sums
+    the ≤len(cols) rows per bucket."""
     import numpy as np
     import ray.data as rd
 
     from ..stages.bucketing import bucketed_map_groups
 
-    path = transcripts_path(sf_dir)
-    cols = ("conv_id", "role", "tool")
     ds = rd.read_parquet(path, columns=list(cols))
 
     def partials(t: pa.Table) -> pa.Table:
@@ -400,14 +396,23 @@ def q_distinct_exact(sf_dir: str):
     per_bucket = bucketed_map_groups(
         ds.map_batches(partials, batch_format="pyarrow"), ["value"], count_bucket
     ).to_pandas()
-    out = (
-        per_bucket.groupby("column_name", sort=False)["n_distinct"]
-        .sum()
-        .reset_index()
-        .sort_values("column_name")
+    return (
+        per_bucket.groupby("column_name", sort=False)["n_distinct"].sum().to_dict()
     )
-    out["n_distinct"] = out["n_distinct"].astype("int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_distinct_exact(sf_dir: str):
+    """Exact distinct counts via hash-partitioned groupby (the exact
+    counterpart of the HLL sketch); see :func:`_distinct_counts_onepass`."""
+    path = transcripts_path(sf_dir)
+    cols = ("conv_id", "role", "tool")
+    counts = _distinct_counts_onepass(path, cols)
+    return pa.Table.from_pylist(
+        [
+            {"column_name": c, "n_distinct": int(counts.get(c, 0))}
+            for c in sorted(cols)
+        ]
+    )
 
 
 def distinct_exact_sql(path: str) -> str:
@@ -636,23 +641,49 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_hll_distinct(sf_dir: str):
-    """HLL estimates (rows-only; accuracy asserted vs exact in pytest)."""
+    """HLL estimates cross-checked in-pipeline against the exact one-pass
+    distinct counts.  Output (column_name, n_exact, hll_within_5pct): the
+    SQL oracle recomputes n_exact with COUNT(DISTINCT) and asserts the HLL
+    bound held — if a sketch drifts past 5% relative error, the boolean
+    flips and the oracle hash mismatches."""
     import pyarrow as _pa
     import ray.data as rd
 
     from ..stages.stats import profile_dataset
 
     path = transcripts_path(sf_dir)
-    prof = profile_dataset(rd.read_parquet(path), columns=["conv_id", "role", "text"])
-    rows = [
-        {"column_name": c, "distinct_est": float(prof[c]["distinct_hll"])}
-        for c in ("conv_id", "role", "text")
-    ]
+    cols = ("conv_id", "role", "text")
+    prof = profile_dataset(rd.read_parquet(path), columns=list(cols))
+    exact = _distinct_counts_onepass(path, cols)
+    rows = []
+    for c in sorted(cols):
+        est = float(prof[c]["distinct_hll"])
+        n = int(exact.get(c, 0))
+        rows.append(
+            {
+                "column_name": c,
+                "n_exact": n,
+                "hll_within_5pct": bool(n > 0 and abs(est - n) / n <= 0.05),
+            }
+        )
     return _pa.Table.from_pylist(rows)
 
 
+def hll_distinct_sql(path: str) -> str:
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{path}/*.parquet'))
+SELECT 'conv_id' AS column_name, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_exact, TRUE AS hll_within_5pct FROM t
+UNION ALL
+SELECT 'role', CAST(COUNT(DISTINCT role) AS BIGINT), TRUE FROM t
+UNION ALL
+SELECT 'text', CAST(COUNT(DISTINCT text) AS BIGINT), TRUE FROM t
+"""
+
+
 def q_drift_stats(sf_dir: str):
-    """Exact KS / chi-square drift statistics, drift variant vs clean."""
+    """Exact KS / chi-square drift statistics, drift variant vs clean.
+    Both are classical closed-form statistics over per-value counts, so
+    the SQL oracle recomputes them with window functions."""
     import pyarrow as _pa
     import ray.data as rd
 
@@ -669,15 +700,103 @@ def q_drift_stats(sf_dir: str):
     return _pa.Table.from_pylist(rows)
 
 
+def _chi2_sql(feature: str, col: str, clean: str, drift: str) -> str:
+    """X² = Σ (O-E)²/E with E scaled to the candidate total; unseen
+    baseline categories get the 0.5 floor (drift.py:_chi2_stat)."""
+    return f"""
+SELECT '{feature}' AS feature, 'chi2' AS stat, ROUND(SUM(POW(oc - e, 2) / e), 6) AS value
+FROM (
+  SELECT COALESCE(o.c, 0) AS oc,
+         CASE WHEN COALESCE(b.c, 0) = 0 THEN 0.5
+              ELSE CAST(b.c AS DOUBLE) / (SELECT SUM(c) FROM (
+                     SELECT COALESCE({col}, '∅null') AS k, COUNT(*) AS c
+                     FROM read_parquet('{clean}/*.parquet') GROUP BY 1))
+                   * (SELECT SUM(c) FROM (
+                     SELECT COALESCE({col}, '∅null') AS k, COUNT(*) AS c
+                     FROM read_parquet('{drift}/*.parquet') GROUP BY 1))
+         END AS e
+  FROM (SELECT COALESCE({col}, '∅null') AS k, COUNT(*) AS c
+        FROM read_parquet('{clean}/*.parquet') GROUP BY 1) b
+  FULL OUTER JOIN
+       (SELECT COALESCE({col}, '∅null') AS k, COUNT(*) AS c
+        FROM read_parquet('{drift}/*.parquet') GROUP BY 1) o
+  ON b.k = o.k
+)
+"""
+
+
+def _ks_sql(feature: str, expr: str, clean: str, drift: str) -> str:
+    """Two-sample KS D = max |F1 - F2| over exact per-value histograms."""
+    return f"""
+SELECT '{feature}' AS feature, 'ks' AS stat, ROUND(MAX(ABS(fa - fb)), 6) AS value
+FROM (
+  SELECT SUM(ca) OVER (ORDER BY v) / (SELECT CAST(SUM(ca) AS DOUBLE) FROM j_{feature}) AS fa,
+         SUM(cb) OVER (ORDER BY v) / (SELECT CAST(SUM(cb) AS DOUBLE) FROM j_{feature}) AS fb
+  FROM j_{feature}
+)
+"""
+
+
+def drift_stats_sql(clean: str, drift: str) -> str:
+    def hist_cte(feature: str, expr: str) -> str:
+        return f"""
+j_{feature} AS (
+  SELECT COALESCE(a.v, b.v) AS v, COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+  FROM (SELECT {expr} AS v, COUNT(*) AS c FROM read_parquet('{clean}/*.parquet')
+        WHERE {expr} IS NOT NULL GROUP BY 1) a
+  FULL OUTER JOIN
+       (SELECT {expr} AS v, COUNT(*) AS c FROM read_parquet('{drift}/*.parquet')
+        WHERE {expr} IS NOT NULL GROUP BY 1) b
+  ON a.v = b.v
+)"""
+
+    return (
+        "WITH "
+        + ",".join([hist_cte("text_len", "length(text)"), hist_cte("turn_idx", "turn_idx")])
+        + _chi2_sql("role", "role", clean, drift)
+        + " UNION ALL "
+        + _chi2_sql("tool", "tool", clean, drift)
+        + " UNION ALL "
+        + _ks_sql("text_len", "length(text)", clean, drift)
+        + " UNION ALL "
+        + _ks_sql("turn_idx", "turn_idx", clean, drift)
+    )
+
+
 def q_decode_features(sf_dir: str):
-    """Multimodal plumbing: binary payload → actor-pool decode features
-    (deterministic fake codec; rows-only)."""
+    """Multimodal plumbing: binary payload → actor-pool decode features.
+    The fake codec is deterministic over the payload bytes, so the SQL
+    oracle recomputes width/height/checksum from the text (ASCII corpus:
+    byte i == character i)."""
     import ray.data as rd
 
     from ..stages.multimodal import attach_payload, decode_features
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return decode_features(attach_payload(ds))
+
+
+# Recomputes DecodeStage's fake codec (multimodal.py): payload = utf8 text,
+# width/height from first/last byte, checksum = little-endian uint64 of the
+# first 8 bytes with bit 63 cleared (byte values ≤ 127 here, so the mask is
+# a no-op and each term fits BIGINT).
+DECODE_FEATURES_SQL = """
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+SELECT doc_id,
+  CASE WHEN length(t)=0 THEN 0 ELSE 16 + (ascii(substr(t,1,1)) % 64) * 8 END AS width,
+  CASE WHEN length(t)=0 THEN 0 ELSE 16 + (ascii(substr(t,length(t),1)) % 64) * 8 END AS height,
+  CAST(CASE WHEN length(t)=0 THEN 0 ELSE
+      ascii(substr(t,1,1))
+    + CASE WHEN length(t)>=2 THEN ascii(substr(t,2,1))*256 ELSE 0 END
+    + CASE WHEN length(t)>=3 THEN ascii(substr(t,3,1))*65536 ELSE 0 END
+    + CASE WHEN length(t)>=4 THEN ascii(substr(t,4,1))*16777216 ELSE 0 END
+    + CASE WHEN length(t)>=5 THEN ascii(substr(t,5,1))*4294967296 ELSE 0 END
+    + CASE WHEN length(t)>=6 THEN ascii(substr(t,6,1))*1099511627776 ELSE 0 END
+    + CASE WHEN length(t)>=7 THEN ascii(substr(t,7,1))*281474976710656 ELSE 0 END
+    + CASE WHEN length(t)>=8 THEN ascii(substr(t,8,1))*72057594037927936 ELSE 0 END
+  END AS BIGINT) AS checksum
+FROM d
+"""
 
 
 def q_embedding_dups(sf_dir: str):
@@ -743,11 +862,59 @@ def q_ivf_topk(sf_dir: str):
 
 def q_conformance(sf_dir: str):
     """The reference's own Draft-4 conformance corpus validated as a
-    distributed table (rows-only: the oracle is the suite's expect_valid
-    column, asserted in-pipeline and in pytest)."""
+    distributed table (rows-only per-case detail; the per-file tallies in
+    :func:`q_conformance_summary` carry the DuckDB oracle)."""
     from ..sources.suite import suite_dataset, validate_suite
 
     return validate_suite(suite_dataset())
+
+
+def q_conformance_summary(sf_dir: str):
+    """Per-file conformance tallies (file, n_cases, n_matched).  The SQL
+    oracle re-reads the suite JSON itself and emits n_matched := n_cases —
+    so any case the engine validates differently from the suite's
+    ``valid`` flag flips a tally and the value hash mismatches."""
+    import numpy as np
+
+    from ..sources.suite import suite_dataset, validate_suite
+    from ..stages.bucketing import bucketed_map_groups
+
+    res = validate_suite(suite_dataset())
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["file", "match"]).to_pandas()
+        g = df.groupby("file", sort=False)["match"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "file": pa.array(g["file"], pa.string()),
+                "n_cases": pa.array(g["size"].to_numpy(np.int64)),
+                "n_matched": pa.array(g["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    return bucketed_map_groups(
+        res.map_batches(partial, batch_format="pyarrow"),
+        ["file"],
+        lambda df: df.groupby("file", sort=False)[["n_cases", "n_matched"]]
+        .sum()
+        .reset_index(),
+    )
+
+
+CONFORMANCE_SUMMARY_SQL = """
+WITH src AS (
+  SELECT regexp_extract(filename, '[^/]+$') AS file, tests
+  FROM read_json(['/root/reference/_testdata/suite/draft4/*.json',
+                  '/root/reference/_testdata/custom/draft4/*.json'],
+                 format='array', filename=true,
+                 columns={'description':'VARCHAR','schema':'JSON','tests':'JSON'})
+)
+SELECT file,
+       CAST(SUM(json_array_length(tests)) AS BIGINT) AS n_cases,
+       CAST(SUM(json_array_length(tests)) AS BIGINT) AS n_matched
+FROM src WHERE file NOT IN ('format.json', 'refRemote.json')
+GROUP BY file
+"""
 
 
 def q_event_windows(sf_dir: str):

@@ -153,11 +153,21 @@ def _batch_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     hh = np.concatenate(parts_h)
     ss = np.concatenate(parts_s)
-    order = np.lexsort((hh, ss))
-    hs, sss = hh[order], ss[order]
-    keep = np.ones(len(hs), dtype=bool)
-    keep[1:] = (hs[1:] != hs[:-1]) | (sss[1:] != sss[:-1])
-    return hs[keep], sss[keep]
+    # per-segment dedup without a 2-key lexsort: mix the segment id into
+    # the hash (a cross-collision is as unlikely as a shingle-hash
+    # collision, which the scheme already tolerates), single-key argsort
+    # to find duplicates, then one stable argsort of the nearly-sorted
+    # segment ids to restore segment-contiguity (timsort ≈ O(n) there)
+    key = hh ^ (ss.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    korder = np.argsort(key)
+    ks = key[korder]
+    uniq = np.ones(len(ks), dtype=bool)
+    uniq[1:] = ks[1:] != ks[:-1]
+    keep = np.zeros(len(key), dtype=bool)
+    keep[korder[uniq]] = True
+    hh, ss = hh[keep], ss[keep]
+    sorder = np.argsort(ss, kind="stable")
+    return hh[sorder], ss[sorder]
 
 
 def shingle_rows(ds, text_col="text", id_col="doc_id", n: int = 3):
@@ -262,9 +272,14 @@ def jaccard_pairs_exact(
 
 
 def _minhash_params(k: int, seed: int = 7):
+    # Multiply-shift permutation family: x → a·x + b (mod 2^64) with ODD a
+    # is a bijection on uint64, which is all MinHash needs for unbiased
+    # min-sampling — and it costs 2 numpy passes per chunk instead of the 7
+    # a Mersenne-prime reduction takes (the signature pass is memory-bound,
+    # so passes ≈ wall time).
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.uint64)
+    a = rng.integers(1, np.iinfo(np.uint64).max, size=k, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, np.iinfo(np.uint64).max, size=k, dtype=np.uint64)
     return a, b
 
 
@@ -279,10 +294,8 @@ class MinHasher:
     def signature(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
             return np.full(self.k, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (a*x + b) mod Mersenne prime, vectorized over shingles × perms
+        # a·x + b mod 2^64 (wraparound IS the modulus), vectorized
         prod = sh[:, None] * self.a[None, :] + self.b[None, :]
-        prod = (prod & _MERSENNE) + (prod >> np.uint64(61))
-        prod = np.where(prod >= _MERSENNE, prod - _MERSENNE, prod)
         return prod.min(axis=0)
 
     _CHUNK = 16  # perms per pass: work matrix stays ~32MB at 250k shingles
@@ -293,12 +306,8 @@ class MinHasher:
         # the very first batch pays.
         b = getattr(self, "_buf", None)
         if b is None or b[0].shape[0] < n:
-            self._buf = b = (
-                np.empty((n, self._CHUNK), np.uint64),
-                np.empty((n, self._CHUNK), np.uint64),
-                np.empty((n, self._CHUNK), bool),
-            )
-        return b[0][:n], b[1][:n], b[2][:n]
+            self._buf = b = (np.empty((n, self._CHUNK), np.uint64),)
+        return b[0][:n]
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
@@ -314,16 +323,9 @@ class MinHasher:
             for c0 in range(0, self.k, self._CHUNK):
                 a = self.a[c0 : c0 + self._CHUNK]
                 b = self.b[c0 : c0 + self._CHUNK]
-                prod, tmp, mask = self._bufs(len(h))
-                prod, tmp, mask = prod[:, : len(a)], tmp[:, : len(a)], mask[:, : len(a)]
+                prod = self._bufs(len(h))[:, : len(a)]
                 np.multiply(hcol, a[None, :], out=prod)
                 np.add(prod, b[None, :], out=prod)
-                np.bitwise_and(prod, _MERSENNE, out=tmp)
-                np.right_shift(prod, np.uint64(61), out=prod)
-                np.add(tmp, prod, out=prod)
-                np.greater_equal(prod, _MERSENNE, out=mask)
-                np.subtract(prod, _MERSENNE, out=tmp)
-                np.copyto(prod, tmp, where=mask)
                 sig[nonempty, c0 : c0 + self._CHUNK] = np.minimum.reduceat(
                     prod, starts, axis=0
                 )
