@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conformance_summary": q.q_conformance_summary,
         # rows-only (non-SQL-expressible; pytest holds their oracles)
         "q_simhash": q.q_simhash,
+        "q_simhash_pairs": q.q_simhash_pairs,
         "q_fingerprints": q.q_fingerprints,
         "q_ivf_topk": q.q_ivf_topk,
         "q_conformance": q.q_conformance,

@@ -126,6 +126,57 @@ def main() -> None:
     ray.shutdown()
 
 
+def big() -> None:
+    """Compute-bound headline measurement: sf1-equivalent transcripts (6M
+    turns, generated deterministically under /tmp) so per-row work, not
+    fixed session cost, dominates — sf0.1's wall time is ≥95% overhead,
+    which masks kernel-level regressions."""
+    _init_ray()
+    import ray
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+    from jsonschema_ray.sources.transcripts import generate_transcripts
+    from jsonschema_ray.stages.checks import conv_checks_salted, conv_checks_violations
+
+    n_turns = int(os.environ.get("GRAFT_BIG_TURNS", "6000000"))
+    path = generate_transcripts(
+        f"/tmp/graft_transcripts/big-{n_turns}", n_turns=n_turns, seed=42
+    )
+    n = rd.read_parquet(path).count()  # warm
+
+    timings = {}
+
+    def headline():
+        return transcript_violations(rd.read_parquet(path)).count()
+
+    headline()
+    sec, n_viol = _timed(headline)
+    timings["validate_full"] = round(sec, 3)
+
+    s2, _ = _timed(lambda: conv_checks_violations(rd.read_parquet(path)).count())
+    timings["conv_checks_bucket"] = round(s2, 3)
+    s3, _ = _timed(lambda: conv_checks_salted(rd.read_parquet(path)).count())
+    timings["conv_checks_salted"] = round(s3, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sf1-equivalent transcript validation wall time",
+                "value": timings["validate_full"],
+                "unit": "sec",
+                "queries": timings,
+                "n_turns": n,
+                "n_violations": n_viol,
+                "num_cpus": NUM_CPUS,
+                "turns_per_sec": round(n / sec),
+                "salted_over_bucket": round(s3 / s2, 2),
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def scaling_workload() -> None:
     """Single measurement for --scaling: distributed slow-path JSON-document
     validation (the compute-bound regime where parallelism, not fixed
@@ -228,5 +279,7 @@ if __name__ == "__main__":
         scaling_workload()
     elif "--scaling" in sys.argv:
         scaling()
+    elif "--big" in sys.argv:
+        big()
     else:
         main()

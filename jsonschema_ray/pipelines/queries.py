@@ -631,6 +631,18 @@ def q_simhash(sf_dir: str):
     return simhash64(ds)
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole banding +
+    exact popcount verify (rows-only: the hash family is engine-internal;
+    pytest holds the brute-force oracle)."""
+    import ray.data as rd
+
+    from ..stages.dedup import simhash_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
 def q_fingerprints(sf_dir: str):
     import ray.data as rd
 

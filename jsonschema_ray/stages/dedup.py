@@ -39,6 +39,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",
+    "simhash_pairs",
     "embedding_dup_pairs",
     "dedup_keep_first",
 ]
@@ -98,13 +99,6 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
 
 
 # -- shingles / exact Jaccard ------------------------------------------------
-
-
-def _doc_shingles(text: str, n: int) -> np.ndarray:
-    """Single-doc wrapper over :func:`_batch_shingles` (same hash family,
-    so driver-side verification agrees with the distributed stages)."""
-    h, _ = _batch_shingles([text], n)
-    return h
 
 
 _SHINGLE_P = np.uint64(1099511628211)
@@ -549,6 +543,90 @@ def simhash64(ds, text_col="text", id_col="doc_id"):
         )
 
     return ds.map_batches(compute, batch_format="pyarrow")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(-1, 64)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
+    """→ Dataset (a, b, hamming): doc pairs with SimHash Hamming distance
+    ≤ ``max_hamming``, end to end distributed.
+
+    Pigeonhole candidate generation: with 4 disjoint 16-bit sub-keys,
+    Hamming ≤ 3 guarantees at least one sub-key is untouched, so bucketing
+    on each of the four sub-keys finds every qualifying pair (no false
+    negatives).  Candidates verify with an exact popcount of the XOR;
+    cross-quarter duplicate pairs collapse in a final pair-keyed exchange.
+    """
+    from .bucketing import bucketed_map_groups, group_bounds
+
+    sigs = simhash64(ds, text_col=text_col, id_col=id_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys, out_ids, out_sh = [], [], []
+        for qi in range(4):
+            sub = (sh >> np.uint64(16 * qi)) & np.uint64(0xFFFF)
+            keys.append((sub.astype(np.int64)) | (qi << 16))
+            out_ids.append(ids)
+            out_sh.append(sh.astype(np.int64))
+        return pa.table(
+            {
+                "skey": pa.array(np.concatenate(keys)),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "simhash": pa.array(np.concatenate(out_sh)),
+            }
+        )
+
+    _EMPTY = pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+        {"a": np.int64, "b": np.int64, "hamming": np.int64}
+    )
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["skey", "doc_id"])
+        df = df[df.duplicated("skey", keep=False)]
+        if df.empty:
+            return _EMPTY
+        df = df.sort_values(["skey", "doc_id"], kind="stable")
+        keys = df["skey"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        sh = df["simhash"].to_numpy().astype(np.uint64)
+        starts, ends = group_bounds(keys)
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            cnt = e - s
+            if cnt < 2 or cnt > 1000:  # hot-bucket cap (skew guard)
+                continue
+            ai, bi = np.triu_indices(cnt, k=1)
+            ham = _popcount64(sh[s:e][ai] ^ sh[s:e][bi])
+            keep = ham <= max_hamming
+            out_a.append(ids[s:e][ai[keep]])
+            out_b.append(ids[s:e][bi[keep]])
+            out_h.append(ham[keep])
+        if not out_a:
+            return _EMPTY
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    cand = bucketed_map_groups(
+        sigs.map_batches(explode, batch_format="pyarrow"), ["skey"], pairs_in_bucket
+    )
+    return bucketed_map_groups(
+        cand, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"])
+    )
 
 
 # -- embedding-cosine near-duplicates ---------------------------------------

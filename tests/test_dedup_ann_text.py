@@ -239,6 +239,48 @@ def test_embedding_dup_pairs_exact_vs_lsh():
     assert len(got_lsh & planted) / len(planted) >= 0.8  # high recall on near-identical
 
 
+def test_simhash_pairs_matches_bruteforce():
+    """Distributed SimHash pair generation vs an O(n²) popcount oracle:
+    pigeonhole banding guarantees no false negatives at hamming ≤ 3, and
+    verification makes precision exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import simhash_pairs, simhash64
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(300)]
+    texts = []
+    for i in range(120):
+        toks = list(rng.choice(words, 30))
+        texts.append(" ".join(toks))
+        near = toks.copy()
+        near[rng.integers(0, 30)] = "zzz"  # 1-token edit → tiny hamming
+        texts.append(" ".join(near))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(df)
+
+    got = simhash_pairs(ds, max_hamming=3).to_pandas()
+    got_set = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+
+    sigs = simhash64(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    sh = sigs["simhash"].to_numpy().astype(np.uint64)
+    ids = sigs["doc_id"].to_numpy()
+    ai, bi = np.triu_indices(len(sh), k=1)
+    x = sh[ai] ^ sh[bi]
+    ham = (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(-1, 64)
+        .sum(axis=1)
+    )
+    want = {
+        (int(ids[a]), int(ids[b]))
+        for a, b in zip(ai[ham <= 3], bi[ham <= 3])
+    }
+    assert got_set == want
+    assert len(want) > 0  # the planted near-dups produce real pairs
+
+
 def test_embedding_dedup_auto_routing():
     import pyarrow as pa
     import ray.data as rd
