@@ -96,31 +96,54 @@ def transcript_violations(
                 rd.from_arrow(pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA))
             )
         if plan is not None:
-            kwargs = dict(
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                batch_size=batch_size,
-                # Actor pool: plan compiled once per actor in __init__.
-                concurrency=concurrency if concurrency is not None else (1, 8),
-                fn_constructor_kwargs=dict(
-                    schema_json=schema_json,
-                    arrow_schema=arrow_schema,
-                    mode=mode,
-                    with_referential=fold_referential,
-                ),
-            )
-            parts.append(ds.map_batches(VectorValidator, **kwargs))
+            if concurrency is not None:
+                # explicit pool sizing → actor pool (plan compiled once per
+                # actor in __init__)
+                parts.append(
+                    ds.map_batches(
+                        VectorValidator,
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                        batch_size=batch_size,
+                        concurrency=concurrency,
+                        fn_constructor_kwargs=dict(
+                            schema_json=schema_json,
+                            arrow_schema=arrow_schema,
+                            mode=mode,
+                            with_referential=fold_referential,
+                        ),
+                    )
+                )
+            else:
+                # default: stateless tasks + per-worker compiled-plan cache
+                # — same compile-once amortization, no per-call actor-pool
+                # spin-up (which dominates second-scale pipelines)
+                from ..stages.validate import validate_rows_batch
+
+                parts.append(
+                    ds.map_batches(
+                        validate_rows_batch,
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                        batch_size=batch_size,
+                        fn_kwargs=dict(
+                            schema_json=schema_json,
+                            arrow_schema=arrow_schema,
+                            mode=mode,
+                            with_referential=fold_referential,
+                        ),
+                    )
+                )
         else:
-            from ..stages.validate import SlowPathValidator
+            from ..stages.validate import validate_rows_slow_batch
 
             parts.append(
                 ds.map_batches(
-                    SlowPathValidator,
+                    validate_rows_slow_batch,
                     batch_format="pyarrow",
                     zero_copy_batch=True,
                     batch_size=batch_size,
-                    concurrency=concurrency if concurrency is not None else (1, 8),
-                    fn_constructor_kwargs=dict(schema_json=schema_json),
+                    fn_kwargs=dict(schema_json=schema_json),
                 )
             )
             if fold_referential:

@@ -36,44 +36,42 @@ def _batch_matrix(t: pa.Table, col: str) -> np.ndarray:
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
-class _TopKScorer:
-    """Actor: normalized query matrix fetched from the object store once."""
+def _topk_batch(
+    t: pa.Table, queries_ref, k: int, vec_col: str, id_col: str
+) -> pa.Table:
+    """Stateless per-batch scorer: the broadcast query matrix is a local
+    plasma read (``ray.get`` of an already-fetched object is zero-copy), so
+    plain tasks on warm workers beat an actor pool — no per-call pool
+    spin-up, which dominates wall time for second-scale pipelines."""
+    import ray
 
-    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str) -> None:
-        import ray
-
-        q = ray.get(queries_ref)
-        self.qids = q["ids"]
-        self.qm = _normalize(q["matrix"])
-        self.k = k
-        self.vec_col, self.id_col = vec_col, id_col
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_numpy()
-        m = _batch_matrix(t, self.vec_col)
-        if m.size == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
-        sims = self.qm @ _normalize(m).T  # (nq, nb)
-        k = min(self.k + 1, sims.shape[1])  # +1 to survive self-match removal
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
-            out_v.append(ids[part[qi]])
-            out_s.append(sims[qi, part[qi]])
+    q = ray.get(queries_ref)
+    qids, qm = q["ids"], q["matrix"]  # matrix pre-normalized at put time
+    ids = t[id_col].to_numpy()
+    m = _batch_matrix(t, vec_col)
+    if m.size == 0:
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q)),
-                "vec_id": pa.array(np.concatenate(out_v)),
-                "sim": pa.array(np.round(np.concatenate(out_s), 6)),
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
             }
         )
+    sims = qm @ _normalize(m).T  # (nq, nb)
+    k = min(k + 1, sims.shape[1])  # +1 to survive self-match removal
+    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    out_q, out_v, out_s = [], [], []
+    for qi in range(sims.shape[0]):
+        out_q.append(np.full(k, qids[qi], dtype=np.int64))
+        out_v.append(ids[part[qi]])
+        out_s.append(sims[qi, part[qi]])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sim": pa.array(np.round(np.concatenate(out_s), 6)),
+        }
+    )
 
 
 def _final_topk(k: int):
@@ -87,7 +85,7 @@ def _final_topk(k: int):
     return reduce_group
 
 
-def cosine_topk(ds, query_ids, k: int = 5, vec_col="embedding", id_col="vec_id", concurrency=(1, 8)):
+def cosine_topk(ds, query_ids, k: int = 5, vec_col="embedding", id_col="vec_id"):
     """Exact top-k cosine neighbors for the given query ids (self excluded)."""
     import ray
 
@@ -101,15 +99,14 @@ def cosine_topk(ds, query_ids, k: int = 5, vec_col="embedding", id_col="vec_id",
         .to_pandas()
     )
     order = np.argsort(qdf[id_col].to_numpy())
-    qmat = np.vstack(qdf[vec_col].to_numpy()[order]).astype(np.float64)
+    qmat = _normalize(np.vstack(qdf[vec_col].to_numpy()[order]).astype(np.float64))
     ref = ray.put({"ids": qdf[id_col].to_numpy()[order], "matrix": qmat})
 
     cands = ds.map_batches(
-        _TopKScorer,
+        _topk_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col),
+        fn_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col),
     )
     return cands.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
@@ -157,23 +154,20 @@ def lsh_topk(
             for j in range(i + 1, bits):
                 probe.add(c ^ (1 << i) ^ (1 << j))
     probe_arr = np.asarray(sorted(probe), dtype=np.int64)
-    qref = ray.put({"ids": qdf[id_col].to_numpy(), "matrix": qmat})
+    qref = ray.put({"ids": qdf[id_col].to_numpy(), "matrix": _normalize(qmat)})
 
-    class BucketScorer(_TopKScorer):
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _batch_matrix(t, vec_col)
-            if m.size == 0:
-                return super().__call__(t)
-            codes = code_of(m)
-            keep = np.isin(codes, probe_arr)
-            return super().__call__(t.filter(pa.array(keep)))
+    def bucket_score(t: pa.Table, queries_ref, k, vec_col, id_col) -> pa.Table:
+        m = _batch_matrix(t, vec_col)
+        if m.size:
+            keep = np.isin(code_of(m), probe_arr)
+            t = t.filter(pa.array(keep))
+        return _topk_batch(t, queries_ref, k, vec_col, id_col)
 
     cands = ds.map_batches(
-        BucketScorer,
+        bucket_score,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col),
+        fn_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col),
     )
     return cands.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
@@ -259,24 +253,21 @@ def ivf_topk(
     qmat = np.vstack(qdf[vec_col].to_numpy()).astype(np.float64)
     probe_lists = np.argsort(-(_normalize(qmat) @ cent.T), axis=1)[:, :nprobe]
     probed = np.unique(probe_lists)
-    qref = ray.put({"ids": qdf[id_col].to_numpy(), "matrix": qmat})
+    qref = ray.put({"ids": qdf[id_col].to_numpy(), "matrix": _normalize(qmat)})
     cref = ray.put(cent)
 
-    class IVFScorer(_TopKScorer):
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _batch_matrix(t, vec_col)
-            if m.size == 0:
-                return super().__call__(t)
+    def ivf_score(t: pa.Table, queries_ref, k, vec_col, id_col) -> pa.Table:
+        m = _batch_matrix(t, vec_col)
+        if m.size:
             c = ray.get(cref)
             assign = np.argmax(_normalize(m) @ c.T, axis=1)
-            keep = np.isin(assign, probed)
-            return super().__call__(t.filter(pa.array(keep)))
+            t = t.filter(pa.array(np.isin(assign, probed)))
+        return _topk_batch(t, queries_ref, k, vec_col, id_col)
 
     cands = ds.map_batches(
-        IVFScorer,
+        ivf_score,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
-        fn_constructor_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col),
+        fn_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col),
     )
     return cands.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")

@@ -776,35 +776,34 @@ def embedding_dup_pairs(
     mat_all = _normalize(np.vstack(mat_parts)[order])
     ref = ray.put({"ids": ids_all, "matrix": mat_all})
 
-    class PairScorer:
-        def __init__(self) -> None:
-            side = ray.get(ref)
-            self.ids, self.mat = side["ids"], side["matrix"]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            m = _batch_matrix(t, vec_col)
-            if m.size == 0:
-                return pa.table(
-                    {
-                        "a": pa.array([], pa.int64()),
-                        "b": pa.array([], pa.int64()),
-                        "sim": pa.array([], pa.float64()),
-                    }
-                )
-            ids = t[id_col].to_numpy()
-            sims = _normalize(m) @ self.mat.T  # (batch, n)
-            bi, aj = np.nonzero(sims >= threshold)
-            keep = ids[bi] < self.ids[aj]  # a < b, self-pairs excluded
+    # stateless tasks: ray.get of the broadcast matrix is a zero-copy local
+    # plasma read on warm workers — no per-call actor-pool spin-up
+    def pair_score(t: pa.Table, side_ref=ref) -> pa.Table:
+        side = ray.get(side_ref)
+        all_ids, mat = side["ids"], side["matrix"]
+        m = _batch_matrix(t, vec_col)
+        if m.size == 0:
             return pa.table(
                 {
-                    "a": pa.array(ids[bi][keep].astype(np.int64)),
-                    "b": pa.array(self.ids[aj][keep].astype(np.int64)),
-                    "sim": pa.array(np.round(sims[bi, aj][keep], 6)),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
                 }
             )
+        ids = t[id_col].to_numpy()
+        sims = _normalize(m) @ mat.T  # (batch, n)
+        bi, aj = np.nonzero(sims >= threshold)
+        keep = ids[bi] < all_ids[aj]  # a < b, self-pairs excluded
+        return pa.table(
+            {
+                "a": pa.array(ids[bi][keep].astype(np.int64)),
+                "b": pa.array(all_ids[aj][keep].astype(np.int64)),
+                "sim": pa.array(np.round(sims[bi, aj][keep], 6)),
+            }
+        )
 
     return ds.select_columns([id_col, vec_col]).map_batches(
-        PairScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        pair_score, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

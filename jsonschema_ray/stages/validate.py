@@ -32,6 +32,8 @@ __all__ = [
     "VectorValidator",
     "SlowPathValidator",
     "PayloadValidator",
+    "validate_rows_batch",
+    "validate_rows_slow_batch",
     "violation_schema",
     "row_to_tree",
 ]
@@ -83,6 +85,42 @@ class VectorValidator:
             if ref.num_rows:
                 out = pa.concat_tables([out, ref])
         return out
+
+
+# Per-worker-process compiled-plan cache: stateless tasks get the same
+# compile-once amortization the actor pool gives, without paying a pool
+# spin-up on every pipeline invocation (tasks reuse warm Ray workers).
+_PLAN_CACHE: dict[tuple, VectorPlan] = {}
+
+
+def validate_rows_batch(
+    batch: pa.Table,
+    schema_json: str,
+    arrow_schema: pa.Schema,
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    mode: str = "first",
+    with_referential: bool = False,
+) -> pa.Table:
+    """Stateless-task twin of :class:`VectorValidator`."""
+    key = (
+        schema_json,
+        mode,
+        tuple((n, str(t)) for n, t in zip(arrow_schema.names, arrow_schema.types)),
+    )
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        plan = _PLAN_CACHE.setdefault(
+            key, compile_plan(parse(schema_json), arrow_schema)
+        )
+    idx, kws, msgs = plan.evaluate(batch, mode=mode)
+    out = _emit(batch, idx, kws, msgs, list(id_cols))
+    if with_referential:
+        from .checks import referential_batch
+
+        ref = referential_batch(batch)
+        if ref.num_rows:
+            out = pa.concat_tables([out, ref])
+    return out
 
 
 def row_to_tree(names, values, ts_cols, float_cols, row: int):
@@ -209,6 +247,19 @@ def validate_payload_batch(
             kws.append(_keyword_of(msg))
             msgs.append(msg)
     return _emit(batch, np.array(idx, dtype=np.int64), kws, msgs, list(id_cols))
+
+
+def validate_rows_slow_batch(
+    batch: pa.Table,
+    schema_json: str,
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> pa.Table:
+    """Stateless-task twin of :class:`SlowPathValidator` (per-worker
+    compile cache)."""
+    sv = SlowPathValidator.__new__(SlowPathValidator)
+    sv.schema = _cached_schema(schema_json)
+    sv.id_cols = list(id_cols)
+    return sv(batch)
 
 
 class PayloadValidator:
