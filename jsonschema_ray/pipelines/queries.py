@@ -216,13 +216,15 @@ def q_payload_violations(sf_dir: str):
     (validate.go:15-21)."""
     import ray.data as rd
 
+    from ..stages.validate import validate_payload_batch
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    # stateless tasks + per-worker compile cache: no actor-pool spin-up
     return ds.map_batches(
-        PayloadValidator,
+        validate_payload_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
-        fn_constructor_kwargs=dict(
+        fn_kwargs=dict(
             schema_json=EVENT_PROPS_SCHEMA,
             payload_col="props",
             id_cols=("event_id",),

@@ -112,22 +112,21 @@ def range_join_broadcast(ds, intervals: pd.DataFrame, on: str, lo_col: str, hi_c
         }
     )
 
-    class RangeJoin:
-        def __init__(self) -> None:
-            side = ray.get(ref)
-            self.lo, self.hi, self.tags = side["lo"], side["hi"], side["tags"]
+    # stateless tasks: the broadcast interval table is a zero-copy local
+    # plasma read per batch — no per-call actor-pool spin-up
+    def range_join(t: pa.Table, side_ref=ref) -> pa.Table:
+        side = ray.get(side_ref)
+        lo, hi, tags = side["lo"], side["hi"], side["tags"]
+        v = t[on].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi[np.clip(idx, 0, None)])
+        keep = np.flatnonzero(ok)
+        out = t.take(pa.array(keep.astype(np.int64)))
+        for c, vals in tags.items():
+            out = out.append_column(c, pa.array(vals[idx[keep]]))
+        return out
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = t[on].combine_chunks().to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.lo, v, side="right") - 1
-            ok = (idx >= 0) & (v < self.hi[np.clip(idx, 0, None)])
-            keep = np.flatnonzero(ok)
-            out = t.take(pa.array(keep.astype(np.int64)))
-            for c, vals in self.tags.items():
-                out = out.append_column(c, pa.array(vals[idx[keep]]))
-            return out
-
-    return ds.map_batches(RangeJoin, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+    return ds.map_batches(range_join, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def hash_join(
