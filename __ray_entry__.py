@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_events": q.q_top_events,
         "q_role_tool_matrix": q.q_role_tool_matrix,
         "q_ngram_counts": q.q_ngram_counts,
+        "q_sample": q.q_sample,
+        "q_grouped_head": q.q_grouped_head,
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_hll_distinct": q.q_hll_distinct,
         "q_drift_stats": q.q_drift_stats,
@@ -130,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_counts": q.NGRAM_COUNTS_SQL,
         # LSH pairs are verified with exact Jaccard and deterministic
         # (seeded), so the exact inverted-index SQL is a valid oracle here
+        "q_sample": q.SAMPLE_SQL,
+        "q_grouped_head": q.GROUPED_HEAD_SQL,
         "q_minhash_pairs": q.JACCARD_SQL,
         "q_hll_distinct": q.hll_distinct_sql(path),
         "q_drift_stats": q.drift_stats_sql(

@@ -633,6 +633,44 @@ def q_simhash(sf_dir: str):
     return simhash64(ds)
 
 
+def q_sample(sf_dir: str):
+    """Reproducible 10% corpus sample by id residue — no shuffle, no RNG
+    state, stable across reruns/partitionings (resume-safe)."""
+    import ray.data as rd
+
+    from ..stages.sampling import deterministic_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return deterministic_sample(ds, "doc_id", modulus=10, keep_below=1)
+
+
+SAMPLE_SQL = """
+SELECT doc_id, text FROM documents WHERE doc_id % 10 < 1
+"""
+
+
+def q_grouped_head(sf_dir: str):
+    """First 3 events per event type by (ts, event_id) — per-group limit
+    with a lossless local-first-k combiner before the exchange."""
+    import ray.data as rd
+
+    from ..stages.sampling import grouped_head
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+    return grouped_head(ds, ["event_type"], ["ts", "event_id"], k=3)
+
+
+GROUPED_HEAD_SQL = """
+SELECT event_id, event_type, ts FROM (
+  SELECT event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= 3
+"""
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole banding +
     exact popcount verify (rows-only: the hash family is engine-internal;

@@ -472,6 +472,41 @@ def test_quarantine_split_partitions_rows():
     assert reval == 0
 
 
+def test_grouped_head_giant_group():
+    """The local-first-k combiner must keep a degenerate group (99% of all
+    rows) correct — and the final answer identical to a pandas oracle."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonschema_ray.stages.sampling import grouped_head
+
+    rng = np.random.default_rng(9)
+    n = 60_000
+    key = np.where(rng.random(n) < 0.99, "hot", "cold")
+    df = pd.DataFrame(
+        {
+            "k": key,
+            "o": rng.integers(0, 1_000_000, n),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    got = (
+        grouped_head(rd.from_pandas(df), ["k"], ["o", "id"], k=5)
+        .to_pandas()
+        .sort_values(["k", "o", "id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "o", "id"], kind="stable")
+        .groupby("k", sort=False)
+        .head(5)
+        .sort_values(["k", "o", "id"])
+        .reset_index(drop=True)
+    )
+    assert got[["k", "o", "id"]].equals(want[["k", "o", "id"]])
+
+
 def test_salted_hash_join_matches_plain_join_on_hot_key():
     """A degenerate hot key (80% of both sides) must produce the identical
     inner-join multiset under salting as under the plain bucketed join."""
