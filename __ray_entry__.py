@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_counts": q.q_ngram_counts,
         "q_sample": q.q_sample,
         "q_grouped_head": q.q_grouped_head,
+        "q_building_orders": q.q_building_orders,
+        "q_frequent_tokens": q.q_frequent_tokens,
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_hll_distinct": q.q_hll_distinct,
         "q_drift_stats": q.q_drift_stats,
@@ -134,6 +136,8 @@ def oracle_sql() -> dict[str, str]:
         # (seeded), so the exact inverted-index SQL is a valid oracle here
         "q_sample": q.SAMPLE_SQL,
         "q_grouped_head": q.GROUPED_HEAD_SQL,
+        "q_building_orders": q.BUILDING_ORDERS_SQL,
+        "q_frequent_tokens": q.FREQUENT_TOKENS_SQL,
         "q_minhash_pairs": q.JACCARD_SQL,
         "q_hll_distinct": q.hll_distinct_sql(path),
         "q_drift_stats": q.drift_stats_sql(

@@ -403,6 +403,39 @@ def _distinct_counts_onepass(path: str, cols: tuple[str, ...]) -> dict[str, int]
     )
 
 
+def q_building_orders(sf_dir: str):
+    """Orders of BUILDING-segment customers via the Bloom-prefiltered
+    semi-join: the small filtered customer side compacts into a broadcast
+    Bloom filter that drops non-matching orders BEFORE the exchange; the
+    exact hash semi-join resolves the false positives."""
+    import ray.data as rd
+
+    from ..stages.joins import bloom_semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    )
+    return bloom_semi_join(
+        orders, cust, on="o_custkey", left_cols=["o_orderkey", "o_totalprice"]
+    )
+
+
+BUILDING_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
 def q_distinct_exact(sf_dir: str):
     """Exact distinct counts via hash-partitioned groupby (the exact
     counterpart of the HLL sketch); see :func:`_distinct_counts_onepass`."""
@@ -668,6 +701,46 @@ SELECT event_id, event_type, ts FROM (
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
   FROM events)
 WHERE rn <= 3
+"""
+
+
+def q_frequent_tokens(sf_dir: str):
+    """Top-10 corpus tokens via the mergeable Misra–Gries sketch — one
+    64-counter partial per batch, associative merge, no shuffle of the
+    distinct set.  The corpus vocabulary (31 tokens) is under the sketch
+    capacity, so counts are exact and the SQL oracle applies; past
+    capacity the same pipeline degrades gracefully to ±n/(capacity+1)
+    lower bounds (pytest asserts that regime)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.sketches import frequent_items
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t["text"].combine_chunks().fill_null(""))
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"token": flat})
+
+    top, _sk = frequent_items(
+        ds.map_batches(explode, batch_format="pyarrow"), "token", capacity=64, k=10
+    )
+    return pa.table(
+        {
+            "token": pa.array([v for v, _ in top], pa.string()),
+            "n": pa.array(np.asarray([c for _, c in top], dtype=np.int64)),
+        }
+    )
+
+
+FREQUENT_TOKENS_SQL = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE text IS NOT NULL)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 10
 """
 
 

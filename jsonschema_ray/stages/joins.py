@@ -24,7 +24,15 @@ import pyarrow as pa
 
 from .bucketing import pick_num_buckets
 
-__all__ = ["asof_join", "range_join_broadcast", "hash_join", "detect_hot_keys", "salted_hash_join", "auto_hash_join"]
+__all__ = [
+    "asof_join",
+    "range_join_broadcast",
+    "hash_join",
+    "detect_hot_keys",
+    "salted_hash_join",
+    "auto_hash_join",
+    "bloom_semi_join",
+]
 
 
 def asof_join(
@@ -197,6 +205,78 @@ def hash_join(
         .map_groups(join_bucket, batch_format="pandas")
         .map_batches(recast, batch_format="pyarrow")
     )
+
+
+def _bloom_hashes(vals: np.ndarray, n_bits: int, k_hashes: int) -> np.ndarray:
+    """(len(vals), k) bit positions via double hashing h1 + i·h2."""
+    if vals.dtype == object:
+        h1 = pd.util.hash_array(vals.astype(object))
+    else:
+        h1 = pd.util.hash_array(vals)
+    h2 = h1 * np.uint64(0x9E3779B97F4A7C15) ^ np.uint64(0xD1B54A32D192ED03)
+    h2 |= np.uint64(1)
+    out = np.empty((len(vals), k_hashes), dtype=np.uint64)
+    for i in range(k_hashes):
+        out[:, i] = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+    return out
+
+
+def bloom_semi_join(
+    left_ds,
+    right_ds,
+    on: str,
+    left_cols: list[str],
+    n_bits: int = 1 << 23,
+    k_hashes: int = 4,
+):
+    """Semi-join with a Bloom prefilter on the left side.
+
+    The right side's keys compact into a Bloom filter built from mergeable
+    per-batch bitmap partials (n_bits/8 bytes each, OR-merged on the
+    driver, broadcast once).  Each left batch drops rows whose key cannot
+    be on the right BEFORE the exchange — false negatives are impossible,
+    and false positives are resolved by the exact hash join that follows.
+    At a selective right side this cuts the all-to-all exchange to the
+    surviving rows; 1 MiB of filter replaces shuffling the non-matching
+    bulk.  Right-side partials shuffle nothing (driver OR at n_bits/8
+    bytes per batch; tree-reduce them when batches × size outgrows the
+    driver)."""
+    import ray
+
+    n_words = n_bits // 64
+
+    def partial_bits(t: pa.Table) -> pa.Table:
+        vals = t[on].combine_chunks().to_numpy(zero_copy_only=False)
+        bits = np.zeros(n_words, dtype=np.uint64)
+        if len(vals):
+            pos = _bloom_hashes(vals, n_bits, k_hashes).reshape(-1)
+            np.bitwise_or.at(bits, (pos >> 6).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = (
+        right_ds.select_columns([on])
+        .map_batches(partial_bits, batch_format="pyarrow")
+        .take_all()
+    )
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for r in parts:
+        bloom |= np.frombuffer(r["bits"], dtype=np.uint64)
+    bref = ray.put(bloom)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        vals = t[on].combine_chunks().to_numpy(zero_copy_only=False)
+        if not len(vals):
+            return t
+        pos = _bloom_hashes(vals, n_bits, k_hashes)
+        hit = np.ones(len(vals), dtype=bool)
+        for i in range(k_hashes):
+            p = pos[:, i]
+            hit &= (b[(p >> 6).astype(np.int64)] >> (p & np.uint64(63))) & np.uint64(1) != 0
+        return t.filter(pa.array(hit))
+
+    pruned = left_ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_join(pruned, right_ds, on=on, left_cols=left_cols, right_cols=[], how="semi")
 
 
 def detect_hot_keys(ds, on: str, threshold: int = 100_000) -> set:

@@ -14,7 +14,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["HLL", "TDigest", "hll_distinct_agg", "tdigest_quantile_agg"]
+__all__ = [
+    "HLL",
+    "TDigest",
+    "MisraGries",
+    "hll_distinct_agg",
+    "tdigest_quantile_agg",
+    "frequent_items",
+]
 
 
 class HLL:
@@ -166,6 +173,98 @@ class TDigest:
 
         delta, m, w = pickle.loads(b)
         return cls(delta, m, w)
+
+
+class MisraGries:
+    """Mergeable frequent-items (heavy hitters) sketch.
+
+    Classic Misra–Gries summary with ``capacity`` counters: after summing
+    ``n`` total items, every reported count is within ``n / (capacity+1)``
+    of the true count, and any value with true frequency above that bound
+    is guaranteed present.  ``merge`` is the standard combine-then-shrink
+    (Agarwal et al., "Mergeable Summaries"): add counts, subtract the
+    (capacity+1)-th largest, drop non-positives — error bounds add.
+
+    The scale story: exact top-k over a 10⁹-cardinality column needs a
+    full value exchange; MG partials are ``capacity`` counters per batch,
+    merged associatively — no shuffle of the distinct set at all.
+    """
+
+    __slots__ = ("capacity", "counts", "n")
+
+    def __init__(self, capacity: int = 64) -> None:
+        self.capacity = capacity
+        self.counts: dict = {}
+        self.n = 0  # total items summarized (for the error bound)
+
+    def update_values(self, vals) -> None:
+        import numpy as np
+
+        uniq, cnt = np.unique(np.asarray(vals, dtype=object), return_counts=True)
+        self.n += int(cnt.sum())
+        c = self.counts
+        for v, k in zip(uniq.tolist(), cnt.tolist()):
+            c[v] = c.get(v, 0) + int(k)
+        self._shrink()
+
+    def _shrink(self) -> None:
+        c = self.counts
+        if len(c) <= self.capacity:
+            return
+        cut = sorted(c.values(), reverse=True)[self.capacity]
+        self.counts = {v: k - cut for v, k in c.items() if k > cut}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.capacity)
+        out.n = self.n + other.n
+        counts = dict(self.counts)
+        for v, k in other.counts.items():
+            counts[v] = counts.get(v, 0) + k
+        out.counts = counts
+        out._shrink()
+        return out
+
+    def top(self, k: int) -> list[tuple[object, int]]:
+        """(value, lower-bound count) for the k largest counters."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+
+    def error_bound(self) -> int:
+        """Max undercount of any reported counter: n / (capacity+1)."""
+        return self.n // (self.capacity + 1)
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.capacity, self.counts, self.n))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "MisraGries":
+        import pickle
+
+        out = cls.__new__(cls)
+        out.capacity, out.counts, out.n = pickle.loads(b)
+        return out
+
+
+def frequent_items(ds, column: str, capacity: int = 64, k: int = 10):
+    """Approximate top-``k`` values of a column via mergeable Misra–Gries
+    partials: one sketch per batch (``map_batches``), associative merge on
+    the driver — the distinct-value set never shuffles.
+    → list of (value, count_lower_bound), plus the merged sketch."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = MisraGries(capacity)
+        vals = t[column].drop_null().to_numpy(zero_copy_only=False)
+        if len(vals):
+            sk.update_values(vals)
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = MisraGries(capacity)
+    for r in rows:
+        merged = merged.merge(MisraGries.from_bytes(r["sketch"]))
+    return merged.top(k), merged
 
 
 def hll_distinct_agg(column: str, p: int = 12):

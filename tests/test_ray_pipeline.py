@@ -472,6 +472,45 @@ def test_quarantine_split_partitions_rows():
     assert reval == 0
 
 
+def test_bloom_semi_join_matches_plain_semi():
+    """The Bloom prefilter may only drop rows the exact semi-join would
+    drop anyway (no false negatives); results must be identical."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from jsonschema_ray.stages.joins import bloom_semi_join, hash_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50_000, 40_000), "v": np.arange(40_000, dtype=np.int64)}
+    )
+    right = pd.DataFrame({"k": rng.choice(50_000, 500, replace=False).astype(np.int64)})
+    got = (
+        bloom_semi_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", left_cols=["v"]
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        hash_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="k",
+            left_cols=["v"],
+            right_cols=[],
+            how="semi",
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got) > 0
+
+
 def test_grouped_head_giant_group():
     """The local-first-k combiner must keep a degenerate group (99% of all
     rows) correct — and the final answer identical to a pandas oracle."""

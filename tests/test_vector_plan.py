@@ -72,6 +72,34 @@ def test_hll_serialization_roundtrip():
     assert np.array_equal(h.registers, h2.registers)
 
 
+def test_misra_gries_heavy_hitters():
+    """Past-capacity regime: zipf-ish stream, sketch must surface every
+    true heavy hitter with counts within the n/(capacity+1) bound, under
+    chunked accumulate + merge (the pipeline's partial pattern)."""
+    from collections import Counter
+
+    from jsonschema_ray.stages.sketches import MisraGries
+
+    rng = np.random.default_rng(3)
+    vals = (rng.zipf(1.3, size=200_000) % 5000).astype(np.int64)
+    truth = Counter(vals.tolist())
+    merged = MisraGries(capacity=64)
+    for chunk in np.array_split(vals, 9):
+        part = MisraGries(capacity=64)
+        part.update_values(chunk)
+        merged = merged.merge(part)
+    bound = merged.error_bound()
+    assert bound <= 2 * (len(vals) // 65)  # merge adds bounds, stays O(n/cap)
+    reported = dict(merged.counts)
+    for v, c in truth.most_common(5):
+        assert c > bound  # these ARE heavy hitters for this distribution
+        assert v in reported, (v, c, bound)
+        assert reported[v] <= c  # lower bound
+        assert c - reported[v] <= bound
+    rt = MisraGries.from_bytes(merged.to_bytes())
+    assert rt.counts == merged.counts and rt.n == merged.n
+
+
 def test_tdigest_quantiles():
     rng = np.random.default_rng(11)
     data = rng.lognormal(3.0, 1.0, size=100_000)
