@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouped_head": q.q_grouped_head,
         "q_building_orders": q.q_building_orders,
         "q_frequent_tokens": q.q_frequent_tokens,
+        "q_running_value": q.q_running_value,
+        "q_median_by_type": q.q_median_by_type,
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_hll_distinct": q.q_hll_distinct,
         "q_drift_stats": q.q_drift_stats,
@@ -138,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
         "q_grouped_head": q.GROUPED_HEAD_SQL,
         "q_building_orders": q.BUILDING_ORDERS_SQL,
         "q_frequent_tokens": q.FREQUENT_TOKENS_SQL,
+        "q_running_value": q.RUNNING_VALUE_SQL,
+        "q_median_by_type": q.MEDIAN_BY_TYPE_SQL,
         "q_minhash_pairs": q.JACCARD_SQL,
         "q_hll_distinct": q.hll_distinct_sql(path),
         "q_drift_stats": q.drift_stats_sql(

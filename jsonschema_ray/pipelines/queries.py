@@ -704,6 +704,45 @@ WHERE rn <= 3
 """
 
 
+def q_running_value(sf_dir: str):
+    """Per-type running sum of event values ordered by (ts, event_id) —
+    the SQL window ``SUM(value) OVER (PARTITION BY … ORDER BY …)`` as one
+    key-hashed exchange + vectorized per-bucket prefix sums."""
+    import ray.data as rd
+
+    from ..stages.window import grouped_running_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts", "value"]
+    )
+    return grouped_running_sum(ds, ["event_type"], ["ts", "event_id"], "value")
+
+
+RUNNING_VALUE_SQL = """
+SELECT event_id, event_type, ts, value,
+       ROUND(SUM(value) OVER (PARTITION BY event_type ORDER BY ts, event_id), 6)
+         AS running_sum
+FROM events
+"""
+
+
+def q_median_by_type(sf_dir: str):
+    """Exact per-type value median (quantile_cont semantics); the t-digest
+    sketch is the scale path when a group outgrows a bucket."""
+    import ray.data as rd
+
+    from ..stages.window import grouped_quantile
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_quantile(ds, ["event_type"], "value", q=0.5)
+
+
+MEDIAN_BY_TYPE_SQL = """
+SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS q50
+FROM events GROUP BY event_type
+"""
+
+
 def q_frequent_tokens(sf_dir: str):
     """Top-10 corpus tokens via the mergeable Misra–Gries sketch — one
     64-counter partial per batch, associative merge, no shuffle of the
