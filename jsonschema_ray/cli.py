@@ -67,6 +67,25 @@ def main(argv: list[str] | None = None) -> int:
             if args.schema:
                 with open(args.schema) as f:
                     schema_json = f.read()
+            else:
+                # default transcript schema: refuse inputs that plainly
+                # aren't a transcript table instead of emitting a wall of
+                # all-NULL "missing required column" rows
+                names = set(rd.read_parquet(args.input).schema().names)
+                missing = {"conv_id", "turn_idx"} - names
+                if missing:
+                    print(
+                        json.dumps(
+                            {
+                                "error": "input lacks transcript key columns "
+                                f"{sorted(missing)}; pass --schema for a "
+                                "custom table",
+                                "columns_found": sorted(names),
+                            }
+                        ),
+                        file=sys.stderr,
+                    )
+                    return 2
             summary = run_resumable(
                 args.input,
                 args.out,
