@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_frequent_tokens": q.q_frequent_tokens,
         "q_running_value": q.q_running_value,
         "q_median_by_type": q.q_median_by_type,
+        "q_dedup_clusters": q.q_dedup_clusters,
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_hll_distinct": q.q_hll_distinct,
         "q_drift_stats": q.q_drift_stats,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "q_frequent_tokens": q.FREQUENT_TOKENS_SQL,
         "q_running_value": q.RUNNING_VALUE_SQL,
         "q_median_by_type": q.MEDIAN_BY_TYPE_SQL,
+        "q_dedup_clusters": q.DEDUP_CLUSTERS_SQL,
         "q_minhash_pairs": q.JACCARD_SQL,
         "q_hll_distinct": q.hll_distinct_sql(path),
         "q_drift_stats": q.drift_stats_sql(

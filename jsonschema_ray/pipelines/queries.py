@@ -619,6 +619,45 @@ WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5
 """
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Connected components of the ≥0.5-Jaccard similarity graph — the
+    cluster labels near-dup dedup keeps one representative per.  The SQL
+    oracle recomputes components with a recursive CTE over the same
+    pairs."""
+    from ..stages.dedup import jaccard_pairs_exact
+    from ..stages.graph import connected_components
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return connected_components(jaccard_pairs_exact(docs, threshold=0.5))
+
+
+DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT p.a, p.b
+  FROM cand p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node, CAST(MIN(lab) AS BIGINT) AS component FROM reach GROUP BY node
+"""
+
+
 def q_cosine_topk(sf_dir: str):
     """Exact brute-force cosine top-5 for query vectors 0..9."""
     import ray.data as rd

@@ -24,6 +24,22 @@ import pyarrow as pa
 
 from .bucketing import pick_num_buckets
 
+
+def _type_of_map(*datasets) -> dict[str, pa.DataType]:
+    """column → arrow type across datasets (first wins).  Pandas-backed
+    datasets report numpy dtypes; coerce so schema construction works."""
+    out: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch = ds.schema()
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (TypeError, pa.ArrowNotImplementedError):
+                    t = pa.string()
+            out.setdefault(n, t)
+    return out
+
 __all__ = [
     "asof_join",
     "range_join_broadcast",
@@ -54,10 +70,7 @@ def asof_join(
     nb = pick_num_buckets(left_ds, None)
     all_cols = [by, on, *left_cols, *right_cols]
 
-    type_of: dict[str, pa.DataType] = {}
-    for sch in (left_ds.schema(), right_ds.schema()):
-        for n, t in zip(sch.names, sch.types):
-            type_of.setdefault(n, t)
+    type_of = _type_of_map(left_ds, right_ds)
 
     def tag(side: str, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
@@ -158,10 +171,7 @@ def hash_join(
     nb = pick_num_buckets(left_ds, None)
     all_cols = [on, *left_cols, *right_cols]
 
-    type_of: dict[str, pa.DataType] = {}
-    for sch in (left_ds.schema(), right_ds.schema()):
-        for n, t in zip(sch.names, sch.types):
-            type_of.setdefault(n, t)
+    type_of = _type_of_map(left_ds, right_ds)
 
     def tag(side: str, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
@@ -314,10 +324,7 @@ def salted_hash_join(
     nb = pick_num_buckets(left_ds, None) * max(1, n_salts // 4)
     all_cols = [on, *left_cols, *right_cols]
 
-    type_of: dict[str, pa.DataType] = {}
-    for sch in (left_ds.schema(), right_ds.schema()):
-        for n, t in zip(sch.names, sch.types):
-            type_of.setdefault(n, t)
+    type_of = _type_of_map(left_ds, right_ds)
 
     import ray
 

@@ -78,6 +78,89 @@ def test_minhash_heavy_dup_stays_distributed():
     assert agg["j_min"].min() == 1.0
 
 
+def test_connected_components_random_graph():
+    """Iterative min-label propagation vs a driver union-find oracle on a
+    random graph with long chains (forces multiple rounds)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(17)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 400, (300, 2)) if a != b]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(20)]  # a 21-node chain
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = connected_components(rd.from_arrow(t)).to_pandas()
+    got_map = dict(zip(got["node"], got["component"]))
+    assert got_map == want
+
+
+def test_connected_components_distributed_path():
+    """Force the iterative label-propagation path (driver_threshold=0):
+    pointer jumping must collapse an 8-chain to one component."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(8)]
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = connected_components(rd.from_arrow(t), driver_threshold=0).to_pandas()
+    assert set(got["component"]) == {0}
+    assert set(got["node"]) == set(range(9))
+
+
+def test_components_keep_first_composition():
+    """minhash pairs → components → one survivor per cluster: a planted
+    3-doc near-dup chain keeps exactly its min doc id."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import jaccard_pairs_exact
+    from jsonschema_ray.stages.graph import components_keep_first
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    texts = {
+        0: base,
+        1: base + " extraA",
+        2: base + " extraA extraB",
+        3: " ".join(f"other{i}" for i in range(30)),
+    }
+    df = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+    )
+    ds = rd.from_pandas(df)
+    pairs = jaccard_pairs_exact(rd.from_pandas(df), threshold=0.5)
+    kept = components_keep_first(ds, pairs).to_pandas()
+    assert set(kept["doc_id"]) == {0, 3}
+
+
 def test_simhash_deterministic_and_near_dup_property():
     from jsonschema_ray.stages.dedup import simhash64
 
