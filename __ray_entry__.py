@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_value": q.q_running_value,
         "q_median_by_type": q.q_median_by_type,
         "q_dedup_clusters": q.q_dedup_clusters,
+        "q_convs_per_role": q.q_convs_per_role,
+        "q_streaming_dedup": q.q_streaming_dedup,
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_hll_distinct": q.q_hll_distinct,
         "q_drift_stats": q.q_drift_stats,
@@ -144,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "q_running_value": q.RUNNING_VALUE_SQL,
         "q_median_by_type": q.MEDIAN_BY_TYPE_SQL,
         "q_dedup_clusters": q.DEDUP_CLUSTERS_SQL,
+        "q_convs_per_role": q.convs_per_role_sql(path),
+        "q_streaming_dedup": q.STREAMING_DEDUP_SQL,
         "q_minhash_pairs": q.JACCARD_SQL,
         "q_hll_distinct": q.hll_distinct_sql(path),
         "q_drift_stats": q.drift_stats_sql(

@@ -461,6 +461,49 @@ SELECT 'tool', CAST(COUNT(DISTINCT tool) AS BIGINT) FROM t
 """
 
 
+def q_convs_per_role(sf_dir: str):
+    """Exact distinct conversations per role — the grouped COUNT(DISTINCT)
+    pattern via two combiner exchanges (pairs never duplicate, hot roles
+    spread across buckets by pair hash)."""
+    import ray.data as rd
+
+    from ..stages.stats import grouped_distinct_exact
+
+    path = transcripts_path(sf_dir)
+    ds = rd.read_parquet(path, columns=["role", "conv_id"])
+    return grouped_distinct_exact(ds, "role", "conv_id")
+
+
+def convs_per_role_sql(path: str) -> str:
+    return f"""
+SELECT role, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_distinct
+FROM read_parquet('{path}/*.parquet')
+WHERE role IS NOT NULL AND conv_id IS NOT NULL
+GROUP BY role
+"""
+
+
+def q_streaming_dedup(sf_dir: str):
+    """Incremental dedup against a fresh sharded seen-content index (the
+    raw-actor shared-index pattern); projected to the content column so
+    the result is order-independent — which row of a duplicate set
+    arrives first is a race, but the surviving content set is exact."""
+    import ray.data as rd
+
+    from ..stages.streaming import StreamingDeduper
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    dd = StreamingDeduper(n_shards=4)
+    return dd.dedup(ds).map_batches(
+        lambda t: t.select(["text"]), batch_format="pyarrow"
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT text FROM documents
+"""
+
+
 def q_stats_minmax(sf_dir: str):
     """Null/min/max per column from the mergeable profile partials."""
     import ray.data as rd

@@ -22,7 +22,53 @@ import pyarrow.compute as pc
 
 from .sketches import HLL, TDigest
 
-__all__ = ["ColumnProfiler", "profile_dataset", "merge_partials"]
+__all__ = [
+    "ColumnProfiler",
+    "profile_dataset",
+    "merge_partials",
+    "grouped_distinct_exact",
+]
+
+
+def grouped_distinct_exact(ds, key_col: str, value_col: str):
+    """→ Dataset (key_col, n_distinct): exact COUNT(DISTINCT value) per key.
+
+    Two-stage combiner discipline: each batch emits its distinct (key,
+    value) pairs, ONE pair-keyed exchange dedupes across batches and
+    counts per key per bucket, and a tiny key-keyed exchange sums the
+    partials — the raw duplicates never shuffle, and a skewed key's
+    distinct values spread across buckets (pair hashing), so no single
+    worker ever holds a hot key's full value set."""
+    import pandas as pd_  # noqa: F401  (pandas imported at module top)
+
+    from .bucketing import bucketed_map_groups
+
+    def batch_uniques(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, value_col]).to_pandas()
+        return pa.Table.from_pandas(
+            df.dropna().drop_duplicates([key_col, value_col]), preserve_index=False
+        )
+
+    def count_bucket(df):
+        return (
+            df.drop_duplicates([key_col, value_col])
+            .groupby(key_col, sort=False)
+            .size()
+            .reset_index(name="_partial")
+        )
+
+    partials = bucketed_map_groups(
+        ds.map_batches(batch_uniques, batch_format="pyarrow"),
+        [key_col, value_col],
+        count_bucket,
+    )
+
+    def sum_bucket(df):
+        g = df.groupby(key_col, sort=False)["_partial"].sum().reset_index(name="n_distinct")
+        g["n_distinct"] = g["n_distinct"].astype("int64")
+        return g
+
+    return bucketed_map_groups(partials, [key_col], sum_bucket)
 
 
 def _col_partial(col: pa.ChunkedArray, name: str, spec: dict) -> dict:

@@ -78,6 +78,32 @@ def test_minhash_heavy_dup_stays_distributed():
     assert agg["j_min"].min() == 1.0
 
 
+def test_streaming_dedup_index_across_runs():
+    """The sharded seen-content index must (a) keep exactly one row per
+    distinct content within a run, regardless of batch boundaries, and
+    (b) remember across runs — a replayed dataset contributes nothing."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.streaming import StreamingDeduper
+
+    texts = [f"doc body {i % 120}" for i in range(600)]  # 5 copies each
+    df = pd.DataFrame(
+        {"doc_id": np.arange(600, dtype=np.int64), "text": texts}
+    )
+    dd = StreamingDeduper(n_shards=4)
+    first = dd.dedup(rd.from_pandas(df).repartition(8)).to_pandas()
+    assert len(first) == 120
+    assert sorted(first["text"].unique()) == sorted(set(texts))
+    assert dd.index_size() == 120
+    # replay: everything already accepted
+    second = dd.dedup(rd.from_pandas(df).repartition(8)).to_pandas()
+    assert len(second) == 0
+    # genuinely new content still flows
+    df2 = pd.DataFrame({"doc_id": [1000], "text": ["brand new doc"]})
+    third = dd.dedup(rd.from_pandas(df2)).to_pandas()
+    assert len(third) == 1
+
+
 def test_connected_components_random_graph():
     """Iterative min-label propagation vs a driver union-find oracle on a
     random graph with long chains (forces multiple rounds)."""
