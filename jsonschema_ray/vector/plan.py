@@ -226,8 +226,8 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
         raise UnsupportedPlanError("top-level composition keywords need the slow path")
     if schema.types not in (0, OBJECT_T):
         raise UnsupportedPlanError("top-level type must be object")
-    if schema.pattern_properties or schema.dependent_schemas:
-        raise UnsupportedPlanError("patternProperties/dependentSchemas need the slow path")
+    if schema.dependent_schemas:
+        raise UnsupportedPlanError("dependentSchemas need the slow path")
     if schema.items is not None or schema.unique_items:
         raise UnsupportedPlanError("array keywords at top level")
 
@@ -248,7 +248,9 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
         )
     if schema.additional_properties == ("bool", False):
         for col in names:
-            if col not in schema.properties:
+            if col not in schema.properties and not any(
+                rx.search(col) for rx, _src, _sub in schema.pattern_properties
+            ):
                 static.append(
                     (
                         col,
@@ -257,13 +259,27 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
                     )
                 )
 
-    # Per-key property checks in arrow column order (validate.go:452-508).
+    # Per-key checks in arrow column order (validate.go:452-508): pattern
+    # regexes are matched against the STATIC column names once at compile
+    # time; each matching pattern's sub-schema compiles with the slow
+    # path's wrap context (`pattern "src"`), declaration order first, then
+    # the plain property schema (validate.go:465-478's per-key order).
     for col in names:
-        prop = schema.properties.get(col)
-        if prop is None:
-            continue
         field_type = arrow_schema.field(col).type
-        checks.extend(_compile_property(col, prop, field_type, static))
+        for rx, src, sub in schema.pattern_properties:
+            if rx.search(col):
+                checks.extend(
+                    _compile_property(
+                        col,
+                        sub,
+                        field_type,
+                        static,
+                        ctx=f"object: {go_quote(col)}: pattern {go_quote(src)}: ",
+                    )
+                )
+        prop = schema.properties.get(col)
+        if prop is not None:
+            checks.extend(_compile_property(col, prop, field_type, static))
 
     # required after the key loop (validate.go:513-515), declaration order.
     for req in schema.required:
@@ -355,7 +371,15 @@ def _props_count_mask(names, min_p, max_p):
     return mask
 
 
-def _compile_property(col: str, prop: Schema, t: pa.DataType, static) -> list[_Check]:
+def _compile_property(
+    col: str, prop: Schema, t: pa.DataType, static, ctx: str | None = None
+) -> list[_Check]:
+    """Compile one sub-schema against one column.  ``ctx`` is the wrapped
+    message prefix — ``object: "col": `` for a plain property, ``object:
+    "col": pattern "re": `` when the sub-schema came from a matching
+    patternProperties entry (validate.go:471-478's wrap)."""
+    if ctx is None:
+        ctx = f"object: {go_quote(col)}: "
     if (
         prop.all_of
         or prop.any_of
@@ -378,11 +402,11 @@ def _compile_property(col: str, prop: Schema, t: pa.DataType, static) -> list[_C
 
     # enum first (composition slot, validate.go:29-54).
     if prop.enum:
-        checks.append(_enum_check(col, prop, t, is_ts))
+        checks.append(_enum_check(col, prop, t, is_ts, ctx))
 
     # type: static per column (schema.go:27-65).
     if not _types_allow(prop.types, bit):
-        msg = f"object: {go_quote(col)}: {tok}: type is not allowed"
+        msg = f"{ctx}{tok}: type is not allowed"
         checks.append(
             _Check(col, "type", (lambda c: lambda b: _valid_mask(b[c]))(col), msg)
         )
@@ -402,7 +426,7 @@ def _compile_property(col: str, prop: Schema, t: pa.DataType, static) -> list[_C
                                 pc.less(pc.utf8_length(b[c]), m)
                             )
                         )(col, prop.min_length),
-                        f"object: {go_quote(col)}: string: length is smaller than {prop.min_length}",
+                        f"{ctx}string: length is smaller than {prop.min_length}",
                     )
                 )
             if prop.max_length is not None:
@@ -415,7 +439,7 @@ def _compile_property(col: str, prop: Schema, t: pa.DataType, static) -> list[_C
                                 pc.greater(pc.utf8_length(b[c]), m)
                             )
                         )(col, prop.max_length),
-                        f"object: {go_quote(col)}: string: length is bigger than {prop.max_length}",
+                        f"{ctx}string: length is bigger than {prop.max_length}",
                     )
                 )
         if prop.pattern is not None:
@@ -431,7 +455,7 @@ def _compile_property(col: str, prop: Schema, t: pa.DataType, static) -> list[_C
                             pc.invert(pc.match_substring_regex(b[c], p))
                         )
                     )(col, pat),
-                    f"object: {go_quote(col)}: string: does not match pattern {pat}",
+                    f"{ctx}string: does not match pattern {pat}",
                 )
             )
     elif tok == "number":
@@ -441,11 +465,11 @@ def _compile_property(col: str, prop: Schema, t: pa.DataType, static) -> list[_C
             # fractional lexeme (we render doubles with repr), so this was
             # handled by the type check above via _types_allow.
             pass
-        checks.extend(_numeric_checks(col, prop, t))
+        checks.extend(_numeric_checks(col, prop, t, ctx))
     return checks
 
 
-def _enum_check(col, prop: Schema, t, is_ts) -> _Check:
+def _enum_check(col, prop: Schema, t, is_ts, ctx: str) -> _Check:
     from ..core.jsontypes import JNum
 
     vals = prop.enum
@@ -475,12 +499,12 @@ def _enum_check(col, prop: Schema, t, is_ts) -> _Check:
         def mask_all(b, c=col):
             return _valid_mask(b[c])
 
-        return _Check(col, "enum", mask_all, _enum_msg(col))
+        return _Check(col, "enum", mask_all, _enum_msg(ctx))
 
     def mask(b, c=col, vs=value_set):
         return _np_bool(pc.invert(pc.is_in(b[c], value_set=vs))) & _valid_mask(b[c])
 
-    return _Check(col, "enum", mask, _enum_msg(col))
+    return _Check(col, "enum", mask, _enum_msg(ctx))
 
 
 def _enum_value_fits(v, t: pa.DataType) -> bool:
@@ -507,19 +531,16 @@ def _enum_value_fits(v, t: pa.DataType) -> bool:
     return False
 
 
-def _enum_msg(col):
-    q = go_quote(col)
-
+def _enum_msg(ctx: str):
     def message(v) -> str:
-        return f"object: {q}: enum: {go_quote(_render_scalar(v))} is not present in enum"
+        return f"{ctx}enum: {go_quote(_render_scalar(v))} is not present in enum"
 
     return message
 
 
-def _numeric_checks(col, prop: Schema, t) -> list[_Check]:
+def _numeric_checks(col, prop: Schema, t, ctx: str) -> list[_Check]:
     checks = []
     int_col = pa.types.is_integer(t)
-    q = go_quote(col)
 
     def bound_scalar(bound: Fraction, kind: str):
         """Exact comparison value for the column type.
@@ -548,7 +569,7 @@ def _numeric_checks(col, prop: Schema, t) -> list[_Check]:
             )(col, int(b) if int_col else float(b), cmp)
 
         def msg_min(v, b=b):
-            return f"object: {q}: number: value {rat_str(_value_fraction(v))} is smaller than {rat_str(b)}"
+            return f"{ctx}number: value {rat_str(_value_fraction(v))} is smaller than {rat_str(b)}"
 
         checks.append(_Check(col, "minimum", mask_fn, msg_min))
 
@@ -569,7 +590,7 @@ def _numeric_checks(col, prop: Schema, t) -> list[_Check]:
             )(col, int(b) if int_col else float(b), cmp)
 
         def msg_max(v, b=b):
-            return f"object: {q}: number: value {rat_str(_value_fraction(v))} is bigger than {rat_str(b)}"
+            return f"{ctx}number: value {rat_str(_value_fraction(v))} is bigger than {rat_str(b)}"
 
         checks.append(_Check(col, "maximum", mask_fn, msg_max))
 
@@ -598,7 +619,7 @@ def _numeric_checks(col, prop: Schema, t) -> list[_Check]:
 
         def msg_mul(v, m=m):
             quo = _value_fraction(v) / m
-            return f"object: {q}: number: {rat_str(quo)} is not multiple of {rat_str(m)}"
+            return f"{ctx}number: {rat_str(quo)} is not multiple of {rat_str(m)}"
 
         checks.append(_Check(col, "multipleOf", mask_fn, msg_mul))
     return checks

@@ -169,6 +169,75 @@ def test_min_max_properties_distinct_messages():
     assert "r1" not in by_id
 
 
+# -- round-2: patternProperties in the vectorized plan ----------------------
+
+
+def test_pattern_properties_vectorized_diff():
+    """patternProperties compiled against static column names: fast path
+    must match the slow path, including the `pattern "re"` wrap context."""
+    schema = (
+        '{"type":"object",'
+        '"patternProperties":{"^t": {"minLength": 4}, "ool$": {"pattern": "^[a-z]+$"}},'
+        '"properties":{"tool":{"maxLength": 6}}}'
+    )
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1", "r2", "r3"], pa.string()),
+            "tool": pa.array(["ok", "Bad", "toolongvalue", None], pa.string()),
+            "other": pa.array(["x", "y", "z", "w"], pa.string()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    # r0 "ok": ^t minLength 4 fails first (declaration order)
+    by_id = dict(zip(a["id"], a["message"]))
+    assert 'pattern "^t": string: length is smaller than 4' in by_id["r0"]
+    assert "r3" not in by_id  # NULL = absent key: no pattern applies
+
+
+def test_pattern_properties_additional_false_coverage():
+    """A column matched only by a patternProperties regex is NOT an
+    additional property (validate.go:484-496)."""
+    from jsonschema_ray.core import parse as _parse
+    from jsonschema_ray.vector.plan import compile_plan
+
+    schema = _parse(
+        '{"type":"object","properties":{"id":{"type":"string"}},'
+        '"patternProperties":{"^x_": {}},"additionalProperties":false}'
+    )
+    arrow_schema = pa.schema(
+        [("id", pa.string()), ("x_extra", pa.string()), ("rogue", pa.string())]
+    )
+    plan = compile_plan(schema, arrow_schema)
+    flagged = {c for c, _kw, _m in plan.static_violations}
+    assert flagged == {"rogue"}
+
+
+def test_pattern_properties_fuzz_differential():
+    """Randomized rows through a schema mixing properties/patternProperties
+    with overlap: fast ≡ slow on every row."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    schema = (
+        '{"type":"object",'
+        '"patternProperties":{"^v": {"minimum": 0}, "2$": {"maximum": 50}},'
+        '"properties":{"v2":{"multipleOf": 2}}}'
+    )
+    n = 200
+    t = pa.table(
+        {
+            "id": pa.array([f"r{i}" for i in range(n)], pa.string()),
+            "v1": pa.array(rng.integers(-5, 10, n), pa.int64()),
+            "v2": pa.array(rng.integers(-5, 100, n), pa.int64()),
+            "w2": pa.array(rng.integers(0, 100, n), pa.int64()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.head(20).to_string(), b.head(20).to_string())
+    assert len(a) > 0
+
+
 # -- ADVICE low #5: dependentRequired keyword parity ------------------------
 
 
