@@ -226,8 +226,8 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
         raise UnsupportedPlanError("top-level composition keywords need the slow path")
     if schema.types not in (0, OBJECT_T):
         raise UnsupportedPlanError("top-level type must be object")
-    if schema.dependent_schemas:
-        raise UnsupportedPlanError("dependentSchemas need the slow path")
+    # dependentSchemas compile below (restricted shapes); other top-level
+    # gates unchanged.
     if schema.items is not None or schema.unique_items:
         raise UnsupportedPlanError("array keywords at top level")
 
@@ -258,6 +258,77 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
                         f"object: {go_quote(col)}: additional properties are not allowed",
                     )
                 )
+
+    # dependentSchemas (validate.go:439-452): evaluated BEFORE the key
+    # loop, so their checks precede property checks in fail-fast order.  A
+    # sub-schema validates the whole row object conditioned on the key's
+    # presence; restricted to the flat shapes the plan expresses
+    # (properties + required) — anything richer routes to the slow path.
+    # trigger keys fire in ROW-OBJECT (column) order, matching the slow
+    # path's pre-pass over obj keys — not schema declaration order
+    for dkey in names:
+        sub = schema.dependent_schemas.get(dkey)
+        if sub is None:
+            continue
+        if (
+            sub.enum
+            or sub.all_of
+            or sub.any_of
+            or sub.one_of
+            or sub.not_ is not None
+            or sub.pattern_properties
+            or sub.dependent_schemas
+            or sub.dependent_required
+            or sub.items is not None
+            or sub.unique_items
+            or sub.min_properties is not None
+            or sub.max_properties is not None
+            or sub.types not in (0, OBJECT_T)
+            or sub.additional_properties is not None
+            or sub.minimum is not None
+            or sub.maximum is not None
+            or sub.multiple_of is not None
+            or sub.min_length is not None
+            or sub.max_length is not None
+            or sub.pattern is not None
+        ):
+            raise UnsupportedPlanError(
+                f"dependentSchemas[{dkey!r}] shape needs the slow path"
+            )
+        prefix = f"object: dependent {go_quote(dkey)}: "
+        for col in names:
+            sp = sub.properties.get(col)
+            if sp is None:
+                continue
+            for c in _compile_property(
+                col,
+                sp,
+                arrow_schema.field(col).type,
+                static,
+                ctx=f"{prefix}object: {go_quote(col)}: ",
+            ):
+                checks.append(_conditioned(c, dkey))
+        for req in sub.required:
+            if req not in name_set:
+                checks.append(
+                    _Check(
+                        dkey,
+                        "required",
+                        (lambda k: lambda b: _valid_mask(b[k]))(dkey),
+                        f"{prefix}object: required property {go_quote(req)} is missing",
+                    )
+                )
+                continue
+            checks.append(
+                _Check(
+                    dkey,
+                    "required",
+                    (
+                        lambda k, r: lambda b: _valid_mask(b[k]) & ~_valid_mask(b[r])
+                    )(dkey, req),
+                    f"{prefix}object: required property {go_quote(req)} is missing",
+                )
+            )
 
     # Per-key checks in arrow column order (validate.go:452-508): pattern
     # regexes are matched against the STATIC column names once at compile
@@ -354,6 +425,17 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
         )
 
     return VectorPlan(checks, static, names)
+
+
+def _conditioned(check: _Check, cond_col: str) -> _Check:
+    """AND a check's mask with the presence of ``cond_col``."""
+    inner = check._mask
+    return _Check(
+        check.column,
+        check.keyword,
+        lambda b, _inner=inner, _c=cond_col: _inner(b) & _valid_mask(b[_c]),
+        check._message,
+    )
 
 
 def _props_count_mask(names, min_p, max_p):

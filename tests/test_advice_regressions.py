@@ -238,6 +238,49 @@ def test_pattern_properties_fuzz_differential():
     assert len(a) > 0
 
 
+# -- round-2: dependentSchemas in the vectorized plan -----------------------
+
+
+def test_dependent_schemas_vectorized_diff():
+    """dependentSchemas of flat shape compile conditioned on the trigger
+    key's presence; fast ≡ slow including the `dependent "k"` wrap and
+    the before-the-key-loop fail-fast position."""
+    schema = (
+        '{"type":"object","properties":{"id":{"type":"string"}},'
+        '"dependencies":{"a":{"properties":{"n":{"minimum":10}},"required":["b"]}}}'
+    )
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1", "r2", "r3"], pa.string()),
+            "a": pa.array(["x", None, "x", "x"], pa.string()),
+            "b": pa.array([None, None, "y", "y"], pa.string()),
+            "n": pa.array([50, 3, 3, 50], pa.int64()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    by_id = dict(zip(a["id"], a["message"]))
+    # r0: a present, b missing → dependent required fires
+    assert by_id["r0"] == 'object: dependent "a": object: required property "b" is missing'
+    # r1: a absent → no dependent checks despite n < 10
+    assert "r1" not in by_id
+    # r2: a present, n=3 violates the dependent minimum
+    assert 'dependent "a": object: "n": number: value 3/1 is smaller than 10/1' in by_id["r2"]
+    assert "r3" not in by_id
+
+
+def test_dependent_schemas_rich_shape_falls_back():
+    from jsonschema_ray.core import parse as _parse
+    from jsonschema_ray.vector.plan import compile_plan
+
+    schema = _parse(
+        '{"type":"object","dependencies":{"a":{"minProperties":2}}}'
+    )
+    arrow_schema = pa.schema([("id", pa.string()), ("a", pa.string())])
+    with pytest.raises(UnsupportedPlanError):
+        compile_plan(schema, arrow_schema)
+
+
 # -- ADVICE low #5: dependentRequired keyword parity ------------------------
 
 
