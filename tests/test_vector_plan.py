@@ -173,5 +173,109 @@ try:
         b = sv(t).to_pandas().sort_values(key).reset_index(drop=True)
         assert a.equals(b), (a.to_string(), b.to_string())
 
+    # -- schema fuzz: random flat schemas × random rows ---------------------
+
+    _sub_schemas = st.fixed_dictionaries(
+        {},
+        optional={
+            "type": st.sampled_from(
+                ["string", "integer", "number", ["string", "null"], ["integer"]]
+            ),
+            "minLength": st.integers(0, 5),
+            "maxLength": st.integers(0, 8),
+            "pattern": st.sampled_from(["^a", "b$", "[0-9]+", "^$"]),
+            "minimum": st.sampled_from([0, 3, 2.5, -1]),
+            "maximum": st.sampled_from([4, 100, 7.5]),
+            "multipleOf": st.sampled_from([1, 2, 0.5, 3]),
+            "enum": st.lists(
+                st.sampled_from(["aa", "b", 1, 2, 2.5, True, None]),
+                min_size=1,
+                max_size=4,
+                unique_by=lambda v: (type(v).__name__, str(v)),
+            ),
+        },
+    )
+    _schemas = st.fixed_dictionaries(
+        {},
+        optional={
+            "properties": st.dictionaries(
+                st.sampled_from(["s1", "s2", "n1", "n2"]), _sub_schemas, max_size=3
+            ),
+            "patternProperties": st.dictionaries(
+                st.sampled_from(["^s", "1$", "n"]), _sub_schemas, max_size=2
+            ),
+            "required": st.lists(
+                st.sampled_from(["s1", "s2", "n1", "n2", "zz"]),
+                max_size=3,
+                unique=True,
+            ),
+            "additionalProperties": st.booleans(),
+            "dependencies": st.dictionaries(
+                st.sampled_from(["s1", "n1"]),
+                st.one_of(
+                    st.lists(
+                        st.sampled_from(["s2", "n2"]), min_size=1, max_size=2, unique=True
+                    ),
+                    st.fixed_dictionaries(
+                        {},
+                        optional={
+                            "properties": st.dictionaries(
+                                st.sampled_from(["s2", "n2"]), _sub_schemas, max_size=2
+                            ),
+                            "required": st.lists(
+                                st.sampled_from(["s2", "n2"]), max_size=2, unique=True
+                            ),
+                        },
+                    ),
+                ),
+                max_size=2,
+            ),
+        },
+    )
+    _fuzz_rows = st.lists(
+        st.fixed_dictionaries(
+            {
+                "s1": st.one_of(st.none(), st.sampled_from(["aa", "b", "a1", ""])),
+                "s2": st.one_of(st.none(), st.sampled_from(["aa", "xb", "123"])),
+                "n1": st.one_of(st.none(), st.integers(-2, 8)),
+                "n2": st.one_of(st.none(), st.sampled_from([0.5, 2.0, 2.5, 7.5, -1.0])),
+            }
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(_schemas, _fuzz_rows)
+    def test_fuzz_random_schema_vector_equals_slow_path(schema_dict, rows):
+        import json as _json
+
+        from jsonschema_ray.vector.plan import UnsupportedPlanError
+
+        schema_json = _json.dumps({"type": "object", **schema_dict})
+        t = pa.table(
+            {
+                "id": pa.array([f"r{i}" for i in range(len(rows))], pa.string()),
+                "s1": pa.array([r["s1"] for r in rows], pa.string()),
+                "s2": pa.array([r["s2"] for r in rows], pa.string()),
+                "n1": pa.array([r["n1"] for r in rows], pa.int64()),
+                "n2": pa.array([r["n2"] for r in rows], pa.float64()),
+            }
+        )
+        try:
+            vv = VectorValidator(schema_json, t.schema, id_cols=("id",))
+        except UnsupportedPlanError:
+            return  # slow-path-only shape: out of scope here
+        if vv.plan.static_violations:
+            # schema-level (table-scoped) violations are deliberately
+            # reported once per partition by the pipeline, not per row —
+            # the per-row differential doesn't apply
+            return
+        sv = SlowPathValidator(schema_json, id_cols=("id",))
+        key = ["id", "keyword", "message"]
+        a = vv(t).to_pandas().sort_values(key).reset_index(drop=True)
+        b = sv(t).to_pandas().sort_values(key).reset_index(drop=True)
+        assert a.equals(b), (schema_json, a.to_string(), b.to_string())
+
 except ImportError:  # pragma: no cover
     pass
