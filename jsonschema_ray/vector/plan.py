@@ -427,6 +427,74 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
     return VectorPlan(checks, static, names)
 
 
+def _branch_viol_mask(col: str, branch: Schema, t: pa.DataType):
+    """mask(batch) → True where a non-null value VIOLATES the branch.
+
+    A branch "matches" a value iff none of its compiled checks fire —
+    the masks compose with or/and/invert to express oneOf/anyOf/not
+    (buffer-and-rescan per subschema in the reference, validate.go:29-54,
+    becomes pure mask algebra here).  Messages are unused: composition
+    verdicts carry the reference's fixed strings."""
+    branch_checks = _compile_property(col, branch, t, [], ctx="")
+
+    def mask(b: pa.Table) -> np.ndarray:
+        m = np.zeros(b.num_rows, dtype=bool)
+        for c in branch_checks:
+            m |= c.mask(b)
+        return m
+
+    return mask
+
+
+def _one_of_checks(col: str, branches, t: pa.DataType, ctx: str) -> list[_Check]:
+    masks = [_branch_viol_mask(col, br, t) for br in branches]
+
+    def match_count(b: pa.Table) -> np.ndarray:
+        cnt = np.zeros(b.num_rows, dtype=np.int64)
+        for m in masks:
+            cnt += ~m(b)
+        return cnt
+
+    # two checks so each case carries its exact message
+    # (validate.go:113-135); a row's count picks exactly one
+    return [
+        _Check(
+            col,
+            "oneOf",
+            lambda b, _c=col: _valid_mask(b[_c]) & (match_count(b) > 1),
+            f"{ctx}oneOf: must match exactly once",
+        ),
+        _Check(
+            col,
+            "oneOf",
+            lambda b, _c=col: _valid_mask(b[_c]) & (match_count(b) == 0),
+            f"{ctx}oneOf: must match at least once",
+        ),
+    ]
+
+
+def _any_of_check(col: str, branches, t: pa.DataType, ctx: str) -> _Check:
+    masks = [_branch_viol_mask(col, br, t) for br in branches]
+
+    def mask(b: pa.Table) -> np.ndarray:
+        bad = _valid_mask(b[col])
+        for m in masks:
+            bad &= m(b)
+        return bad
+
+    return _Check(col, "anyOf", mask, f"{ctx}anyOf: must match at least once")
+
+
+def _not_check(col: str, branch: Schema, t: pa.DataType, ctx: str) -> _Check:
+    viol = _branch_viol_mask(col, branch, t)
+    return _Check(
+        col,
+        "not",
+        lambda b, _c=col: _valid_mask(b[_c]) & ~viol(b),
+        f"{ctx}not: must not match",
+    )
+
+
 def _conditioned(check: _Check, cond_col: str) -> _Check:
     """AND a check's mask with the presence of ``cond_col``."""
     inner = check._mask
@@ -463,11 +531,7 @@ def _compile_property(
     if ctx is None:
         ctx = f"object: {go_quote(col)}: "
     if (
-        prop.all_of
-        or prop.any_of
-        or prop.one_of
-        or prop.not_ is not None
-        or prop.properties
+        prop.properties
         or prop.pattern_properties
         or prop.items is not None
         or prop.required
@@ -482,9 +546,22 @@ def _compile_property(
     checks: list[_Check] = []
     is_ts = pa.types.is_timestamp(t) or pa.types.is_date(t)
 
-    # enum first (composition slot, validate.go:29-54).
+    # composition slot, in the reference's evaluation order
+    # enum → allOf → oneOf → anyOf → not (validate.go:29-54).
     if prop.enum:
         checks.append(_enum_check(col, prop, t, is_ts, ctx))
+    for i, br in enumerate(prop.all_of):
+        # allOf distributes: every branch's checks apply directly, with
+        # the slow path's `allOf: [i]` wrap (validate.go:100-111)
+        checks.extend(
+            _compile_property(col, br, t, static, ctx=f"{ctx}allOf: [{i}]: ")
+        )
+    if prop.one_of:
+        checks.extend(_one_of_checks(col, prop.one_of, t, ctx))
+    if prop.any_of:
+        checks.append(_any_of_check(col, prop.any_of, t, ctx))
+    if prop.not_ is not None:
+        checks.append(_not_check(col, prop.not_, t, ctx))
 
     # type: static per column (schema.go:27-65).
     if not _types_allow(prop.types, bit):

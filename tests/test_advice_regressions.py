@@ -238,6 +238,38 @@ def test_pattern_properties_fuzz_differential():
     assert len(a) > 0
 
 
+# -- round-2: property-level composition in the vectorized plan -------------
+
+
+def test_property_composition_vectorized_diff():
+    """allOf/anyOf/oneOf/not compile to mask algebra; messages and
+    fail-fast order must match the exact engine."""
+    schema = (
+        '{"type":"object","properties":{'
+        '"a":{"allOf":[{"minLength":2},{"pattern":"^x"}]},'
+        '"b":{"anyOf":[{"minimum":10},{"maximum":0}]},'
+        '"c":{"oneOf":[{"minimum":5},{"multipleOf":2}]},'
+        '"d":{"not":{"pattern":"bad"}}}}'
+    )
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1", "r2", "r3", "r4", "r5"], pa.string()),
+            "a": pa.array(["xy", "q", None, "xlong", "yy", None], pa.string()),
+            "b": pa.array([5, 20, -3, None, 11, 20], pa.int64()),
+            "c": pa.array([7, 4, 6, 3, None, 7], pa.int64()),
+            "d": pa.array(["fine", "so bad", None, "ok", "bad", "bad"], pa.string()),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    msgs = set(a["message"])  # fail-fast: each row reports its FIRST hit
+    assert any("allOf: [1]: string: does not match pattern ^x" in m for m in msgs)
+    assert any("anyOf: must match at least once" in m for m in msgs)
+    assert any("oneOf: must match exactly once" in m for m in msgs)
+    assert any("oneOf: must match at least once" in m for m in msgs)
+    assert 'object: "d": not: must not match' in msgs  # r5: only d violates
+
+
 # -- round-2: dependentSchemas in the vectorized plan -----------------------
 
 

@@ -175,24 +175,32 @@ try:
 
     # -- schema fuzz: random flat schemas × random rows ---------------------
 
+    _base_sub_opts = {
+        "type": st.sampled_from(
+            ["string", "integer", "number", ["string", "null"], ["integer"]]
+        ),
+        "minLength": st.integers(0, 5),
+        "maxLength": st.integers(0, 8),
+        "pattern": st.sampled_from(["^a", "b$", "[0-9]+", "^$"]),
+        "minimum": st.sampled_from([0, 3, 2.5, -1]),
+        "maximum": st.sampled_from([4, 100, 7.5]),
+        "multipleOf": st.sampled_from([1, 2, 0.5, 3]),
+        "enum": st.lists(
+            st.sampled_from(["aa", "b", 1, 2, 2.5, True, None]),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda v: (type(v).__name__, str(v)),
+        ),
+    }
+    _base_sub = st.fixed_dictionaries({}, optional=_base_sub_opts)
     _sub_schemas = st.fixed_dictionaries(
         {},
         optional={
-            "type": st.sampled_from(
-                ["string", "integer", "number", ["string", "null"], ["integer"]]
-            ),
-            "minLength": st.integers(0, 5),
-            "maxLength": st.integers(0, 8),
-            "pattern": st.sampled_from(["^a", "b$", "[0-9]+", "^$"]),
-            "minimum": st.sampled_from([0, 3, 2.5, -1]),
-            "maximum": st.sampled_from([4, 100, 7.5]),
-            "multipleOf": st.sampled_from([1, 2, 0.5, 3]),
-            "enum": st.lists(
-                st.sampled_from(["aa", "b", 1, 2, 2.5, True, None]),
-                min_size=1,
-                max_size=4,
-                unique_by=lambda v: (type(v).__name__, str(v)),
-            ),
+            **_base_sub_opts,
+            "allOf": st.lists(_base_sub, min_size=1, max_size=2),
+            "anyOf": st.lists(_base_sub, min_size=1, max_size=2),
+            "oneOf": st.lists(_base_sub, min_size=1, max_size=2),
+            "not": _base_sub,
         },
     )
     _schemas = st.fixed_dictionaries(
