@@ -109,6 +109,63 @@ def parse_json(data):
         raise JSONError(f"invalid json: {e}") from None
 
 
+def tree_value(v):
+    """Arrow python value → lexeme-preserving JSON tree value, recursively
+    (list/struct columns carry nested numbers that must become JNum)."""
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return JNum(repr(v))
+    if isinstance(v, int):
+        return JNum(str(v))
+    if isinstance(v, list):
+        return [tree_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: tree_value(x) for k, x in v.items()}
+    # datetime-like (nested timestamps)
+    return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+
+_KEYWORD_PATTERNS = [
+    ("is not present in enum", "enum"),
+    ("does not match pattern", "pattern"),
+    ("type is not allowed", "type"),
+    ("required property", "required"),
+    ("is smaller than", None),  # length vs value, resolved below
+    ("is bigger than", None),
+    ("is not multiple of", "multipleOf"),
+    ("additional properties are not allowed", "additionalProperties"),
+    ("are equal", "uniqueItems"),
+    ("must match exactly once", "oneOf"),
+    ("must match at least once", None),
+    ("must not match", "not"),
+    ("schema does not allow additionalItems", "additionalItems"),
+    ("invalid json", "json"),
+]
+
+
+def keyword_of(msg: str) -> str:
+    """Draft-4 keyword for a wrapped message (for the ``keyword`` column)."""
+    for pat, kw in _KEYWORD_PATTERNS:
+        if pat in msg:
+            if kw is not None:
+                return kw
+            if pat == "must match at least once":
+                return "oneOf" if "oneOf" in msg else "anyOf"
+            is_len = "length is" in msg
+            tail = "smaller" if "smaller" in msg else "bigger"
+            if is_len:
+                if "string:" in msg.rsplit("length is", 1)[0][-40:]:
+                    return "minLength" if tail == "smaller" else "maxLength"
+                if "array:" in msg.rsplit("length is", 1)[0][-40:]:
+                    return "minItems" if tail == "smaller" else "maxItems"
+                return "minProperties" if tail == "smaller" else "maxProperties"
+            return "minimum" if tail == "smaller" else "maximum"
+    return "schema"
+
+
 # jx token-type names used by the reference when wrapping type-dispatch errors
 # (validate.go:74 `errors.Wrap(err, tt.String())`).
 def json_token_type(value) -> str:

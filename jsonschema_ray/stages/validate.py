@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..core import parse
-from ..core.jsontypes import JNum
+from ..core.jsontypes import JNum, keyword_of as _keyword_of, tree_value
 from ..core.schema import Schema, ValidationError
 from ..vector.plan import VectorPlan, compile_plan
 
@@ -138,6 +138,8 @@ def row_to_tree(names, values, ts_cols, float_cols, row: int):
             pass
         elif isinstance(v, int):
             v = JNum(str(v))
+        elif isinstance(v, (list, dict)):
+            v = tree_value(v)
         obj[name] = v
     return obj
 
@@ -176,42 +178,7 @@ class SlowPathValidator:
         return _emit(batch, np.array(idx, dtype=np.int64), kws, msgs, self.id_cols)
 
 
-_KEYWORD_PATTERNS = [
-    ("is not present in enum", "enum"),
-    ("does not match pattern", "pattern"),
-    ("type is not allowed", "type"),
-    ("required property", "required"),
-    ("is smaller than", None),  # length vs value, resolved below
-    ("is bigger than", None),
-    ("is not multiple of", "multipleOf"),
-    ("additional properties are not allowed", "additionalProperties"),
-    ("are equal", "uniqueItems"),
-    ("must match exactly once", "oneOf"),
-    ("must match at least once", None),
-    ("must not match", "not"),
-    ("schema does not allow additionalItems", "additionalItems"),
-    ("invalid json", "json"),
-]
-
-
-def _keyword_of(msg: str) -> str:
-    """Draft-4 keyword for a wrapped message (for the ``keyword`` column)."""
-    for pat, kw in _KEYWORD_PATTERNS:
-        if pat in msg:
-            if kw is not None:
-                return kw
-            if pat == "must match at least once":
-                return "oneOf" if "oneOf" in msg else "anyOf"
-            is_len = "length is" in msg
-            tail = "smaller" if "smaller" in msg else "bigger"
-            if is_len:
-                if "string:" in msg.rsplit("length is", 1)[0][-40:]:
-                    return "minLength" if tail == "smaller" else "maxLength"
-                if "array:" in msg.rsplit("length is", 1)[0][-40:]:
-                    return "minItems" if tail == "smaller" else "maxItems"
-                return "minProperties" if tail == "smaller" else "maxProperties"
-            return "minimum" if tail == "smaller" else "maximum"
-    return "schema"
+# keyword extraction lives in core.jsontypes (shared with the vector plan)
 
 
 # Per-worker-process compile cache: stateless map_batches tasks get the same

@@ -52,7 +52,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..core.jsontypes import go_quote, rat_str
+from ..core.jsontypes import go_quote, keyword_of, rat_str, tree_value
 from ..core.schema import (
     ARRAY_T,
     BOOLEAN_T,
@@ -206,7 +206,10 @@ class VectorPlan:
             idx = np.flatnonzero(new)
             msgs = check.messages(batch, idx)
             for i, m in zip(idx, msgs):
-                rows.append((int(i), check.keyword, m))
+                # keyword=None → per-row derivation from the message (items
+                # checks surface the element's own keyword, like _keyword_of
+                # does on the slow path)
+                rows.append((int(i), check.keyword or keyword_of(m), m))
         if mode == "first":
             rows.sort(key=lambda r: r[0])
         else:
@@ -533,7 +536,6 @@ def _compile_property(
     if (
         prop.properties
         or prop.pattern_properties
-        or prop.items is not None
         or prop.required
         or prop.dependent_required
         or prop.dependent_schemas
@@ -625,6 +627,133 @@ def _compile_property(
             # handled by the type check above via _types_allow.
             pass
         checks.extend(_numeric_checks(col, prop, t, ctx))
+    elif tok == "array":
+        checks.extend(_array_checks(col, prop, t, ctx))
+    return checks
+
+
+def _array_checks(col: str, prop: Schema, t: pa.DataType, ctx: str) -> list[_Check]:
+    """List-column keywords, in the slow path's order: per-element items
+    checks, uniqueItems, then length bounds (validate.go:267-377).
+
+    Masks vectorize over the FLATTENED child array (one kernel pass for
+    every element of every row, scattered back to parents); messages
+    recompute the first offending element through the exact engine for
+    flagged rows only — the reference's buffer-only-on-failure idiom."""
+    from ..core.equal import equal
+    from ..core.schema import ValidationError
+
+    checks: list[_Check] = []
+    child = t.value_type
+
+    if prop.items is not None:
+        if prop.items[0] != "object":
+            raise UnsupportedPlanError(f"tuple-form items on column {col!r}")
+        sub = prop.items[1]
+        if sub.enum or sub.all_of or sub.any_of or sub.one_of or sub.not_ is not None:
+            # composition over possibly-null elements: slow path
+            raise UnsupportedPlanError(
+                f"items composition keywords on column {col!r}"
+            )
+        sub_checks = _compile_property("__e", sub, child, [], ctx="")
+        # a NULL element is JSON null: it violates iff the sub-schema's
+        # type set excludes null (other keywords skip nulls, like the
+        # slow path's type dispatch)
+        null_viol = sub.types != 0 and not (sub.types & NULL_T)
+
+        def items_mask(b, c=col, sc=sub_checks, nv=null_viol):
+            arr = b[c].combine_chunks()
+            out = np.zeros(len(arr), dtype=bool)
+            flat = pc.list_flatten(arr)
+            if len(flat) == 0 and not nv:
+                return out
+            parent = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+            m = np.zeros(len(flat), dtype=bool)
+            if len(flat):
+                tmp = pa.table({"__e": flat})
+                for ck in sc:
+                    m |= ck.mask(tmp)
+                if nv:
+                    m |= ~_valid_mask(flat)
+            if m.any():
+                np.logical_or.at(out, parent[m], True)
+            return out
+
+        def items_msg(v, sub=sub, ctx=ctx):
+            for i, elem in enumerate(tree_value(v)):
+                try:
+                    sub.validate(elem)
+                except ValidationError as e:
+                    return f"{ctx}array: [{i}]: {e.msg}"
+            return f"{ctx}array: items violation"  # pragma: no cover
+
+        checks.append(_Check(col, None, items_mask, items_msg))
+
+    if prop.unique_items:
+        if not (
+            pa.types.is_string(child)
+            or pa.types.is_large_string(child)
+            or pa.types.is_integer(child)
+            or pa.types.is_floating(child)
+            or pa.types.is_boolean(child)
+        ):
+            raise UnsupportedPlanError(
+                f"uniqueItems on non-primitive list column {col!r}"
+            )
+        import pandas as pd
+
+        def unique_mask(b, c=col):
+            arr = b[c].combine_chunks()
+            out = np.zeros(len(arr), dtype=bool)
+            flat = pc.list_flatten(arr)
+            if len(flat) == 0:
+                return out
+            parent = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+            vals = flat.to_numpy(zero_copy_only=False)
+            if flat.null_count and pa.types.is_integer(child):
+                # nullable ints float-coerce (2^53 precision loss): stay exact
+                vals = np.asarray(flat.to_pylist(), dtype=object)
+            dup = pd.DataFrame({"p": parent, "v": vals}).duplicated().to_numpy()
+            if dup.any():
+                np.logical_or.at(out, parent[dup], True)
+            return out
+
+        def unique_msg(v, ctx=ctx):
+            elems = tree_value(v)
+            for xi in range(len(elems)):
+                for yi in range(len(elems)):
+                    if xi != yi and equal(elems[xi], elems[yi]):
+                        return f"{ctx}array: items {xi} and {yi} are equal"
+            return f"{ctx}array: duplicate items"  # pragma: no cover
+
+        checks.append(_Check(col, "uniqueItems", unique_mask, unique_msg))
+
+    if prop.min_items is not None:
+        checks.append(
+            _Check(
+                col,
+                "minItems",
+                (
+                    lambda c, n: lambda b: _np_bool(
+                        pc.less(pc.list_value_length(b[c]), n)
+                    )
+                )(col, prop.min_items),
+                f"{ctx}array: length is smaller than {prop.min_items}",
+            )
+        )
+    if prop.max_items is not None:
+        checks.append(
+            _Check(
+                col,
+                "maxItems",
+                (
+                    lambda c, n: lambda b: _np_bool(
+                        pc.greater(pc.list_value_length(b[c]), n)
+                    )
+                )(col, prop.max_items),
+                f"{ctx}array: length is bigger than {prop.max_items}",
+            )
+        )
     return checks
 
 

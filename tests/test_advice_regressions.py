@@ -270,6 +270,63 @@ def test_property_composition_vectorized_diff():
     assert 'object: "d": not: must not match' in msgs  # r5: only d violates
 
 
+# -- round-2: list-column (array) keywords in the vectorized plan -----------
+
+
+def test_array_keywords_vectorized_diff():
+    """min/maxItems, uniqueItems and single-schema items vectorize over
+    the flattened child array; messages recompute the first offending
+    element through the exact engine."""
+    schema = (
+        '{"type":"object","properties":{"e":'
+        '{"minItems":2,"maxItems":4,"uniqueItems":true,'
+        '"items":{"type":"number","minimum":0}}}}'
+    )
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1", "r2", "r3", "r4", "r5"], pa.string()),
+            "e": pa.array(
+                [
+                    [1.0, 2.0],          # ok
+                    [1.0],               # minItems
+                    [1.0, 1.0, 3.0],     # uniqueItems
+                    [1.0, -2.0],         # items minimum on [1]
+                    [1.0, 2.0, 3.0, 4.0, 5.0],  # maxItems
+                    None,                # absent key: nothing fires
+                ],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    by_id = dict(zip(a["id"], zip(a["keyword"], a["message"])))
+    assert by_id["r1"] == ("minItems", 'object: "e": array: length is smaller than 2')
+    assert by_id["r2"][0] == "uniqueItems"
+    assert "items 0 and 1 are equal" in by_id["r2"][1]
+    assert by_id["r3"][0] == "minimum"
+    assert by_id["r3"][1] == 'object: "e": array: [1]: number: value -2/1 is smaller than 0/1'
+    assert by_id["r4"] == ("maxItems", 'object: "e": array: length is bigger than 4')
+    assert "r0" not in by_id and "r5" not in by_id
+
+
+def test_array_null_elements_diff():
+    """NULL elements are JSON nulls: they violate a non-null items type
+    and pair up under uniqueItems — fast ≡ slow on both."""
+    schema_t = '{"type":"object","properties":{"e":{"items":{"type":"integer"}}}}'
+    schema_u = '{"type":"object","properties":{"e":{"uniqueItems":true}}}'
+    t = pa.table(
+        {
+            "id": pa.array(["r0", "r1"], pa.string()),
+            "e": pa.array([[1, None, 3], [None, None]], pa.list_(pa.int64())),
+        }
+    )
+    for schema in (schema_t, schema_u):
+        a, b = _diff(schema, t)
+        assert a.equals(b), (schema, a.to_string(), b.to_string())
+        assert len(a) > 0
+
+
 # -- round-2: dependentSchemas in the vectorized plan -----------------------
 
 
