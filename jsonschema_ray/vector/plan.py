@@ -45,7 +45,6 @@ produces, e.g. ``object: "role": enum: "\"bot\"" is not present in enum``.
 
 from __future__ import annotations
 
-import json
 from fractions import Fraction
 
 import numpy as np
@@ -137,25 +136,12 @@ def _valid_mask(col) -> np.ndarray:
 
 
 def _render_scalar(v) -> str:
-    """Canonical JSON rendering of an arrow scalar python value."""
-    if isinstance(v, str):
-        return json.dumps(v, ensure_ascii=False)
-    if v is True:
-        return "true"
-    if v is False:
-        return "false"
-    if isinstance(v, int):
-        return str(v)
-    if isinstance(v, float):
-        return repr(v)
-    if v is None:
-        return "null"
-    # datetime etc.
-    return json.dumps(_render_ts(v), ensure_ascii=False)
+    """Canonical JSON rendering of an arrow python value — exactly the
+    slow path's ``to_json(tree)`` (lexeme-preserving, recursive, so list
+    and struct values render identically across engines)."""
+    from ..core.jsontypes import to_json
 
-
-def _render_ts(v) -> str:
-    return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    return to_json(tree_value(v))
 
 
 def _value_fraction(v) -> Fraction:

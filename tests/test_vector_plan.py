@@ -201,13 +201,25 @@ try:
             "anyOf": st.lists(_base_sub, min_size=1, max_size=2),
             "oneOf": st.lists(_base_sub, min_size=1, max_size=2),
             "not": _base_sub,
+            "minItems": st.integers(0, 3),
+            "maxItems": st.integers(0, 4),
+            "uniqueItems": st.booleans(),
+            "items": st.fixed_dictionaries(
+                {},
+                optional={
+                    "type": st.sampled_from(["number", "integer", ["number", "null"]]),
+                    "minimum": st.sampled_from([0, 1.5, -1]),
+                    "maximum": st.sampled_from([2, 3.5]),
+                    "multipleOf": st.sampled_from([1, 0.5]),
+                },
+            ),
         },
     )
     _schemas = st.fixed_dictionaries(
         {},
         optional={
             "properties": st.dictionaries(
-                st.sampled_from(["s1", "s2", "n1", "n2"]), _sub_schemas, max_size=3
+                st.sampled_from(["s1", "s2", "n1", "n2", "l1"]), _sub_schemas, max_size=3
             ),
             "patternProperties": st.dictionaries(
                 st.sampled_from(["^s", "1$", "n"]), _sub_schemas, max_size=2
@@ -247,6 +259,15 @@ try:
                 "s2": st.one_of(st.none(), st.sampled_from(["aa", "xb", "123"])),
                 "n1": st.one_of(st.none(), st.integers(-2, 8)),
                 "n2": st.one_of(st.none(), st.sampled_from([0.5, 2.0, 2.5, 7.5, -1.0])),
+                "l1": st.one_of(
+                    st.none(),
+                    st.lists(
+                        st.one_of(
+                            st.none(), st.sampled_from([0.0, 1.0, 1.5, 3.0, -1.0])
+                        ),
+                        max_size=5,
+                    ),
+                ),
             }
         ),
         min_size=1,
@@ -268,6 +289,7 @@ try:
                 "s2": pa.array([r["s2"] for r in rows], pa.string()),
                 "n1": pa.array([r["n1"] for r in rows], pa.int64()),
                 "n2": pa.array([r["n2"] for r in rows], pa.float64()),
+                "l1": pa.array([r["l1"] for r in rows], pa.list_(pa.float64())),
             }
         )
         try:
