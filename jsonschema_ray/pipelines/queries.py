@@ -1107,12 +1107,19 @@ def q_ivf_topk(sf_dir: str):
 
 
 def q_conformance(sf_dir: str):
-    """The reference's own Draft-4 conformance corpus validated as a
-    distributed table (rows-only per-case detail; the per-file tallies in
-    :func:`q_conformance_summary` carry the DuckDB oracle)."""
-    from ..sources.suite import suite_dataset, validate_suite
+    """The reference's own Draft-4 conformance corpus — refRemote
+    included, served by an in-process loopback fixture (single node) —
+    validated as a distributed table (rows-only per-case detail; the
+    per-file tallies in :func:`q_conformance_summary` carry the DuckDB
+    oracle)."""
+    from ..sources.suite import (
+        ensure_remote_fixture_server,
+        suite_dataset,
+        validate_suite,
+    )
 
-    return validate_suite(suite_dataset())
+    ensure_remote_fixture_server()
+    return validate_suite(suite_dataset(skip=("format.json",)), remote=True)
 
 
 def q_conformance_summary(sf_dir: str):

@@ -70,15 +70,70 @@ def suite_dataset(dirs=None, skip=DEFAULT_SKIP, num_blocks: int = 16):
     return rd.from_arrow(suite_rows(dirs, skip)).repartition(num_blocks)
 
 
-def validate_suite(ds):
+_REMOTE_SCHEMA_CACHE: dict = {}
+
+
+def _cached_remote_schema(schema_json: str):
+    """Per-worker compile cache with remote `$ref` resolution enabled."""
+    sch = _REMOTE_SCHEMA_CACHE.get(schema_json)
+    if sch is None:
+        from ..core import parse
+        from ..core.resolver import Remote
+
+        sch = _REMOTE_SCHEMA_CACHE.setdefault(
+            schema_json, parse(schema_json, resolver=Remote())
+        )
+    return sch
+
+
+def ensure_remote_fixture_server(port: int = 1234) -> None:
+    """Serve the reference's remote fixtures on localhost once per process
+    (reference suite_test.go:19-32).  A bind failure means a server is
+    already up (e.g. the pytest fixture) — proceed.  Single-node only:
+    a real cluster would pre-fetch remote documents into the store."""
+    import functools
+    import http.server
+    import socketserver
+    import threading
+
+    if getattr(ensure_remote_fixture_server, "_started", False):
+        return
+
+    class _Quiet(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *args):  # pragma: no cover
+            pass
+
+    class _Server(socketserver.TCPServer):
+        allow_reuse_address = True
+
+    try:
+        srv = _Server(
+            ("127.0.0.1", port),
+            functools.partial(_Quiet, directory="/root/reference/_testdata/remotes"),
+        )
+    except OSError:
+        ensure_remote_fixture_server._started = True  # someone else serves
+        return
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    ensure_remote_fixture_server._started = True
+
+
+def validate_suite(ds, remote: bool = False):
     """→ Dataset (case_id, file, description, expect_valid, got_valid,
-    message, match): every row validated with the per-worker compile cache."""
-    from ..stages.validate import _cached_schema
+    message, match): every row validated with the per-worker compile cache.
+
+    ``remote=True`` compiles with the remote resolver so ``refRemote``
+    cases run distributed too (call :func:`ensure_remote_fixture_server`
+    first)."""
 
     def run(t: pa.Table) -> pa.Table:
+        if remote:
+            compile_one = _cached_remote_schema
+        else:
+            from ..stages.validate import _cached_schema as compile_one
         got, msgs = [], []
         for sj, dj in zip(t["schema_json"].to_pylist(), t["data_json"].to_pylist()):
-            msg = _cached_schema(sj).check(dj)
+            msg = compile_one(sj).check(dj)
             got.append(msg is None)
             msgs.append(msg or "")
         expect = t["expect_valid"].to_pylist()

@@ -49,7 +49,10 @@ def remote_server():
     try:
         srv = _Server(("127.0.0.1", 1234), handler)
     except OSError:
-        pytest.skip("cannot bind localhost:1234")
+        # q_conformance's in-process fixture server (sources/suite.py) may
+        # already be serving the same directory — use it
+        yield "http://localhost:1234"
+        return
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     yield "http://localhost:1234"
