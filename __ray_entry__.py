@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_clusters": q.q_dedup_clusters,
         "q_convs_per_role": q.q_convs_per_role,
         "q_streaming_dedup": q.q_streaming_dedup,
+        "q_curate": q.q_curate,
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_hll_distinct": q.q_hll_distinct,
         "q_drift_stats": q.q_drift_stats,
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": q.DEDUP_CLUSTERS_SQL,
         "q_convs_per_role": q.convs_per_role_sql(path),
         "q_streaming_dedup": q.STREAMING_DEDUP_SQL,
+        "q_curate": q.CURATE_SQL,
         "q_minhash_pairs": q.JACCARD_SQL,
         "q_hll_distinct": q.hll_distinct_sql(path),
         "q_drift_stats": q.drift_stats_sql(

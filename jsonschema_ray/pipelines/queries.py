@@ -701,6 +701,46 @@ SELECT node, CAST(MIN(lab) AS BIGINT) AS component FROM reach GROUP BY node
 """
 
 
+def q_curate(sf_dir: str):
+    """The full curation chain — exact dedup → near-dup cluster dedup →
+    quality gate — with every stage mirrored in one SQL oracle (recursive
+    CTE for the cluster labels)."""
+    import ray.data as rd
+
+    from .curate import curate_corpus
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curate_corpus(ds, jaccard_threshold=0.5, min_tokens=5, max_stop_ratio=0.18)
+
+
+CURATE_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, text FROM documents x
+  WHERE doc_id = (SELECT MIN(doc_id) FROM documents y WHERE y.text = x.text)),
+toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM d),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM toks CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+cand AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+         FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+pairs AS (SELECT p.a, p.b FROM cand p
+          JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+          WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, lab) AS (SELECT src, src FROM edges UNION
+                     SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+surv AS (SELECT doc_id, text FROM d
+         WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)),
+q AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS t FROM surv)
+SELECT doc_id, text FROM q
+WHERE len(t) >= 5
+  AND ROUND(CASE WHEN len(t) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(t, x -> x IN ('the','and','of','a','to','in','is','it'))) AS DOUBLE)
+      / len(t) END, 6) <= 0.18
+"""
+
+
 def q_cosine_topk(sf_dir: str):
     """Exact brute-force cosine top-5 for query vectors 0..9."""
     import ray.data as rd

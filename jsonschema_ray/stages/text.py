@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats", "quality_scores", "LangId", "lang_id", "fingerprints", "STOPWORDS"]
+__all__ = ["token_stats", "quality_scores", "quality_filter", "LangId", "lang_id", "fingerprints", "STOPWORDS"]
 
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 
@@ -95,6 +95,32 @@ def quality_scores(ds, text_col="text", id_col="doc_id", stopwords=STOPWORDS):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def quality_filter(
+    ds,
+    text_col="text",
+    id_col="doc_id",
+    min_tokens: int = 1,
+    max_stop_ratio: float = 1.0,
+    stopwords=STOPWORDS,
+):
+    """Drop rows failing the quality gate, in-place per batch — the same
+    metrics as :func:`quality_scores`, but no separate dataset and no
+    join back (a curation pipeline wants surviving ROWS, not scores)."""
+    stop = frozenset(stopwords)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ex, n_tok = _exploded_tokens(t, text_col)
+        idx = ex.index.to_numpy().astype(np.int64)
+        n = t.num_rows
+        sum_stop = np.bincount(idx, weights=ex.isin(stop).to_numpy(), minlength=n)
+        denom = np.maximum(n_tok, 1).astype(np.float64)
+        ratio = np.where(n_tok > 0, sum_stop / denom, 0.0)
+        ok = (n_tok >= min_tokens) & (np.round(ratio, 6) <= max_stop_ratio)
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 class LangId:
