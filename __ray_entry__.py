@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_convs_per_role": q.q_convs_per_role,
         "q_streaming_dedup": q.q_streaming_dedup,
         "q_curate": q.q_curate,
+        "q_resize_decode": q.q_resize_decode,
         "q_minhash_pairs": q.q_minhash_pairs,
         "q_hll_distinct": q.q_hll_distinct,
         "q_drift_stats": q.q_drift_stats,
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "q_convs_per_role": q.convs_per_role_sql(path),
         "q_streaming_dedup": q.STREAMING_DEDUP_SQL,
         "q_curate": q.CURATE_SQL,
+        "q_resize_decode": q.RESIZE_DECODE_SQL,
         "q_minhash_pairs": q.JACCARD_SQL,
         "q_hll_distinct": q.hll_distinct_sql(path),
         "q_drift_stats": q.drift_stats_sql(

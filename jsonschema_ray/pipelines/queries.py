@@ -1085,6 +1085,39 @@ FROM d
 """
 
 
+def q_resize_decode(sf_dir: str):
+    """Multimodal chain: attach binary payload → actor-pool resize (fake
+    codec, 64×64 target) → decode features.  The byte transform is
+    deterministic (payload repeats to w·h/1024+8 = 12 bytes), so the SQL
+    oracle recomputes every feature from the text with modulo indexing."""
+    import ray.data as rd
+
+    from ..stages.multimodal import attach_payload, decode_features, resize
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return decode_features(resize(attach_payload(ds), width=64, height=64))
+
+
+def _resize_decode_sql() -> str:
+    # resized byte i = text[i % len(text)]; 12-byte payload at 64×64
+    def b(i: int) -> str:
+        return f"ascii(substr(t, ({i} % L) + 1, 1))"
+
+    checksum = " + ".join(f"{b(i)} * {256**i}" for i in range(8))
+    return f"""
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS t,
+                  length(COALESCE(text, '')) AS L FROM documents)
+SELECT doc_id,
+  CASE WHEN L = 0 THEN 0 ELSE 16 + ({b(0)} % 64) * 8 END AS width,
+  CASE WHEN L = 0 THEN 0 ELSE 16 + ({b(11)} % 64) * 8 END AS height,
+  CAST(CASE WHEN L = 0 THEN 0 ELSE {checksum} END AS BIGINT) AS checksum
+FROM d
+"""
+
+
+RESIZE_DECODE_SQL = _resize_decode_sql()
+
+
 def q_embedding_dups(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (auto-routed: exact broadcast
     matmul while the matrix fits the object-store budget, LSH beyond)."""
