@@ -226,15 +226,8 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
     name_set = set(names)
 
     # additionalProperties=false with unexpected table columns → schema-level.
-    # The schema form would have to validate every unmatched column's values;
-    # route those plans through the exact per-row engine (validate.go:484-496).
-    if (
-        schema.additional_properties is not None
-        and schema.additional_properties[0] != "bool"
-    ):
-        raise UnsupportedPlanError(
-            "additionalProperties schema form needs the slow path"
-        )
+    # The SCHEMA form compiles below, per unmatched column, inside the key
+    # loop (validate.go:484-496).
     if schema.additional_properties == ("bool", False):
         for col in names:
             if col not in schema.properties and not any(
@@ -324,10 +317,13 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
     # time; each matching pattern's sub-schema compiles with the slow
     # path's wrap context (`pattern "src"`), declaration order first, then
     # the plain property schema (validate.go:465-478's per-key order).
+    ap = schema.additional_properties
     for col in names:
         field_type = arrow_schema.field(col).type
+        matched = False
         for rx, src, sub in schema.pattern_properties:
             if rx.search(col):
+                matched = True
                 checks.extend(
                     _compile_property(
                         col,
@@ -340,6 +336,18 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
         prop = schema.properties.get(col)
         if prop is not None:
             checks.extend(_compile_property(col, prop, field_type, static))
+        elif not matched and ap is not None and ap[0] == "schema":
+            # additionalProperties schema form: the sub-schema validates
+            # every unmatched column's values (validate.go:485-489)
+            checks.extend(
+                _compile_property(
+                    col,
+                    ap[1],
+                    field_type,
+                    static,
+                    ctx=f"object: {go_quote(col)}: additionalProperties: ",
+                )
+            )
 
     # required after the key loop (validate.go:513-515), declaration order.
     for req in schema.required:
@@ -362,9 +370,13 @@ def compile_plan(schema: Schema, arrow_schema: pa.Schema) -> VectorPlan:
         )
 
     # dependentRequired: key present → dependents required
-    # (validate.go:415-438).
-    for key, deps in schema.dependent_required.items():
-        if key not in name_set:
+    # (validate.go:415-438).  Trigger keys fire in ROW-OBJECT (column)
+    # order — the slow path's pre-pass iterates obj keys, so with several
+    # triggers present the first-reported missing dependent follows column
+    # order, not schema declaration order.
+    for key in names:
+        deps = schema.dependent_required.get(key)
+        if deps is None:
             continue
         for dep in deps:
             if dep not in name_set:

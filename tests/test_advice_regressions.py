@@ -60,17 +60,9 @@ def test_minimum_message_decimal_rational():
 # -- ADVICE high #2: additionalProperties schema form must not be dropped ---
 
 
-def test_additional_properties_schema_form_unsupported():
-    schema = parse(
-        '{"type":"object","properties":{"id":{"type":"string"}},'
-        '"additionalProperties":{"type":"number"}}'
-    )
-    arrow_schema = pa.schema([("id", pa.string()), ("x", pa.string())])
-    with pytest.raises(UnsupportedPlanError):
-        compile_plan(schema, arrow_schema)
-
-
-def test_additional_properties_schema_form_slow_path_flags():
+def test_additional_properties_schema_form_vectorized_diff():
+    """The schema form compiles against every unmatched column (ADVICE
+    round-1 case: violations on extra columns must not be dropped)."""
     schema = (
         '{"type":"object","properties":{"id":{"type":"string"}},'
         '"additionalProperties":{"type":"number"}}'
@@ -81,11 +73,14 @@ def test_additional_properties_schema_form_slow_path_flags():
             "x": pa.array(["oops", None], pa.string()),
         }
     )
-    sv = SlowPathValidator(schema, id_cols=("id",))
-    out = sv(t).to_pandas()
-    assert list(out["id"]) == ["r0"]
-    assert out["keyword"][0] == "type"
-    assert "type is not allowed" in out["message"][0]
+    a, b = _diff(schema, t)
+    assert a.equals(b), (a.to_string(), b.to_string())
+    assert list(a["id"]) == ["r0"]
+    assert a["keyword"][0] == "type"
+    assert (
+        a["message"][0]
+        == 'object: "x": additionalProperties: string: type is not allowed'
+    )
 
 
 def test_additional_properties_bool_true_still_vectorizes():

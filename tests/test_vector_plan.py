@@ -229,7 +229,7 @@ try:
                 max_size=3,
                 unique=True,
             ),
-            "additionalProperties": st.booleans(),
+            "additionalProperties": st.one_of(st.booleans(), _base_sub),
             "dependencies": st.dictionaries(
                 st.sampled_from(["s1", "n1"]),
                 st.one_of(
