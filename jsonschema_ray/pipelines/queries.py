@@ -25,7 +25,7 @@ from ..stages.checks import (
     referential_violations,
     ts_order_violations,
 )
-from ..stages.validate import PayloadValidator, VectorValidator
+from ..stages.validate import VectorValidator
 
 # ---------------------------------------------------------------------------
 # transcripts: row-level violations (fail-fast parity) --------------------
