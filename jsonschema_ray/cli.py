@@ -54,6 +54,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     pr.add_argument("--num-cpus", type=int, default=None)
 
+    cu = sub.add_parser(
+        "curate",
+        help="corpus curation: exact dedup → near-dup cluster dedup → "
+        "quality gate → optional sample → parquet out",
+    )
+    cu.add_argument("--input", required=True, help="documents parquet (doc_id, text)")
+    cu.add_argument("--out", required=True, help="output parquet directory")
+    cu.add_argument("--jaccard", type=float, default=0.5)
+    cu.add_argument("--min-tokens", type=int, default=1)
+    cu.add_argument("--max-stop-ratio", type=float, default=1.0)
+    cu.add_argument("--sample-mod", type=int, default=None)
+    cu.add_argument("--sample-keep", type=int, default=1)
+    cu.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
     import ray
@@ -109,6 +123,32 @@ def main(argv: list[str] | None = None) -> int:
                     summary["verdict"] = "fail"
             print(json.dumps(summary))
             return 0 if summary.get("verdict") == "pass" else 3
+        if args.cmd == "curate":
+            from .pipelines.curate import curate_corpus
+
+            ds = rd.read_parquet(args.input)
+            n_in = ds.count()
+            out = curate_corpus(
+                rd.read_parquet(args.input),
+                jaccard_threshold=args.jaccard,
+                min_tokens=args.min_tokens,
+                max_stop_ratio=args.max_stop_ratio,
+                sample_modulus=args.sample_mod,
+                sample_keep_below=args.sample_keep,
+            )
+            out.write_parquet(args.out)
+            n_out = rd.read_parquet(args.out).count()
+            print(
+                json.dumps(
+                    {
+                        "rows_in": n_in,
+                        "rows_out": n_out,
+                        "dropped": n_in - n_out,
+                        "out_dir": args.out,
+                    }
+                )
+            )
+            return 0
         if args.cmd == "profile":
             from .stages.drift import drift_profile, save_baseline
             from .stages.stats import profile_dataset
