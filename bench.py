@@ -110,6 +110,12 @@ def main() -> None:
     timings["cosine_topk"] = round(sec, 3)
     sec, _ = _timed(lambda: q.q_token_stats(SF_DIR).count())
     timings["token_stats"] = round(sec, 3)
+    sec, _ = _timed(lambda: q.q_minhash_pairs(SF_DIR).count())
+    timings["minhash_pairs"] = round(sec, 3)
+    sec, _ = _timed(lambda: q.q_building_orders(SF_DIR).count())
+    timings["bloom_semi_join"] = round(sec, 3)
+    sec, _ = _timed(lambda: q.q_curate(SF_DIR).count())
+    timings["curate"] = round(sec, 3)
 
     result = {
         "metric": "transcript validation wall time (full check suite)",
