@@ -29,17 +29,43 @@ def curate_corpus(
     max_stop_ratio: float = 1.0,
     sample_modulus: int | None = None,
     sample_keep_below: int = 1,
+    pair_method: str = "exact",
 ):
-    """→ Dataset of curated (id, text) rows."""
-    from ..stages.dedup import dedup_keep_first, jaccard_pairs_exact
+    """→ Dataset of curated (id, text) rows.
+
+    ``pair_method`` picks the near-dup edge source:
+
+    * ``"exact"`` — inverted-index exact Jaccard (SQL-oracle parity; the
+      pair count is quadratic in clique size, so duplicate-HEAVY corpora
+      pay a shingles-per-pair blowup);
+    * ``"minhash"`` — verified LSH (probabilistic recall, exact precision;
+      same clique-size quadratic cost in the verification join);
+    * ``"minhash_fast"`` — unverified LSH candidates, the 100 TB path for
+      clustering: one 16-byte row per edge, no shingle shipping; a rare
+      false-positive edge over-merges a cluster instead of breaking it.
+    """
+    from ..stages.dedup import (
+        dedup_keep_first,
+        jaccard_pairs_exact,
+        minhash_lsh_pairs,
+    )
     from ..stages.graph import components_keep_first
     from ..stages.sampling import deterministic_sample
     from ..stages.text import quality_filter
 
     survivors = dedup_keep_first(ds, text_col=text_col, id_col=id_col)
-    pairs = jaccard_pairs_exact(
-        survivors, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
-    )
+    if pair_method == "exact":
+        pairs = jaccard_pairs_exact(
+            survivors, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            survivors,
+            threshold=jaccard_threshold,
+            text_col=text_col,
+            id_col=id_col,
+            verify=(pair_method == "minhash"),
+        )
     survivors = components_keep_first(survivors, pairs, id_col=id_col)
     survivors = quality_filter(
         survivors,

@@ -348,12 +348,20 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col="text",
     id_col="doc_id",
+    verify: bool = True,
 ):
     """→ Dataset (a, b, jaccard): banded-LSH candidates verified with exact
     Jaccard, end to end distributed.
 
     Precision 1.0 (every reported pair is verified); recall follows the LSH
     S-curve 1-(1-t^r)^b with r = k/bands.
+
+    ``verify=False`` returns the deduped candidate (a, b) pairs WITHOUT the
+    exact-Jaccard pass.  At high duplicate density the verification join
+    ships each candidate pair's shingles — inherently quadratic in clique
+    size — while clustering workloads only need edges: unverified
+    candidates cost one 16-byte row per pair, and a rare false-positive
+    edge merely over-merges a cluster.
     """
     r = k // bands
     sigs = minhash_signatures(ds, k=k, n=n)
@@ -429,6 +437,8 @@ def minhash_lsh_pairs(
         return df.drop_duplicates(["a", "b"])
 
     cand = bucketed_map_groups(cand, ["a", "b"], dedup_pairs)
+    if not verify:
+        return cand
 
     def explode_sides(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)

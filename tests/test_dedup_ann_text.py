@@ -187,6 +187,43 @@ def test_components_keep_first_composition():
     assert set(kept["doc_id"]) == {0, 3}
 
 
+def test_minhash_unverified_candidates_superset():
+    """verify=False returns the deduped candidate pairs — a superset of the
+    verified pairs (verification only ever removes), with no jaccard
+    column and no shingle shipping."""
+    from jsonschema_ray.stages.dedup import minhash_lsh_pairs
+
+    cand = minhash_lsh_pairs(_docs(), threshold=0.5, verify=False).to_pandas()
+    ver = minhash_lsh_pairs(_docs(), threshold=0.5).to_pandas()
+    c = {(int(a), int(b)) for a, b in zip(cand["a"], cand["b"])}
+    v = {(int(a), int(b)) for a, b in zip(ver["a"], ver["b"])}
+    assert v <= c
+    assert "jaccard" not in cand.columns
+
+
+def test_curate_minhash_fast_matches_exact_on_clean_pairs():
+    """On a corpus whose LSH candidates are exactly the true near-dup
+    pairs, the fast clustering path keeps the same survivors as the
+    exact path."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.curate import curate_corpus
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    texts = {
+        0: base,
+        1: base + " extraA",
+        2: base + " extraA extraB",
+        3: " ".join(f"other{i}" for i in range(30)),
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": [texts[k] for k in texts]})
+    exact = curate_corpus(rd.from_pandas(df), jaccard_threshold=0.5).to_pandas()
+    fast = curate_corpus(
+        rd.from_pandas(df), jaccard_threshold=0.5, pair_method="minhash_fast"
+    ).to_pandas()
+    assert set(exact["doc_id"]) == set(fast["doc_id"]) == {0, 3}
+
+
 def test_simhash_deterministic_and_near_dup_property():
     from jsonschema_ray.stages.dedup import simhash64
 
