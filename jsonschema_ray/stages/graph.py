@@ -85,18 +85,20 @@ def connected_components(
 
         return rd.from_arrow(_driver_union_find(edges.to_pandas()))
 
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+    def init_labels(df: pd.DataFrame) -> pa.Table:
+        # arrow blocks: these datasets feed unions with arrow-producing
+        # stages, and mixed pandas/arrow bundles stall the sort exchange
         u = np.unique(df["src"].to_numpy())
-        return pd.DataFrame({"node": u, "component": u})
+        return pa.table({"node": pa.array(u), "component": pa.array(u)})
 
     labels = bucketed_map_groups(edges, ["src"], init_labels).materialize()
     prev_sum = labels.sum("component")
     if prev_sum is None:  # no edges at all
         return labels
 
-    def min_label(df: pd.DataFrame) -> pd.DataFrame:
+    def min_label(df: pd.DataFrame) -> pa.Table:
         g = df.groupby("node", sort=False)["component"].min().reset_index()
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     for _ in range(max_iters):
         # neighbor candidates: each edge ships its source's label to dst
@@ -114,10 +116,15 @@ def connected_components(
             lambda t: pa.table({"node": t["dst"], "component": t["component"]}),
             batch_format="pyarrow",
         )
-        # materialized: consumed twice below (lookup side + keyed side)
-        merged = bucketed_map_groups(
-            labels.union(neigh), ["node"], min_label
-        ).materialize()
+        # materialized: consumed twice below (lookup side + keyed side).
+        # repartition bounds the block count — each round's union+sort
+        # otherwise multiplies blocks, and sort planning cost grows with
+        # block count until the executor crawls
+        merged = (
+            bucketed_map_groups(labels.union(neigh), ["node"], min_label)
+            .repartition(32)
+            .materialize()
+        )
         # pointer jumping: L(v) ← L(L(v)).  L(x) ≤ x always, so the
         # looked-up root can only improve the label.
         lookup = merged.map_batches(
@@ -137,6 +144,7 @@ def connected_components(
                 lambda t: pa.table({"node": t["node"], "component": t["root"]}),
                 batch_format="pyarrow",
             )
+            .repartition(32)
             .materialize()
         )
         s = labels.sum("component")
