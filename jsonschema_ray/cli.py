@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--max-stop-ratio", type=float, default=1.0)
     cu.add_argument("--sample-mod", type=int, default=None)
     cu.add_argument("--sample-keep", type=int, default=1)
+    cu.add_argument(
+        "--pair-method",
+        default="auto",
+        choices=["auto", "exact", "minhash", "minhash_fast"],
+        help="near-dup edge source (auto = route on measured duplicate density)",
+    )
     cu.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -124,8 +130,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(summary))
             return 0 if summary.get("verdict") == "pass" else 3
         if args.cmd == "curate":
+            import os
+
             from .pipelines.curate import curate_corpus
 
+            # a rerun into a non-empty --out would mix the previous run's
+            # parquet files into the curated corpus and inflate rows_out
+            if os.path.isdir(args.out) and os.listdir(args.out):
+                print(
+                    json.dumps(
+                        {
+                            "error": f"--out {args.out} is not empty; "
+                            "refusing to mix runs (delete it or pick a fresh dir)"
+                        }
+                    ),
+                    file=sys.stderr,
+                )
+                return 2
             ds = rd.read_parquet(args.input)
             n_in = ds.count()
             out = curate_corpus(
@@ -135,8 +156,11 @@ def main(argv: list[str] | None = None) -> int:
                 max_stop_ratio=args.max_stop_ratio,
                 sample_modulus=args.sample_mod,
                 sample_keep_below=args.sample_keep,
+                pair_method=args.pair_method,
             )
             out.write_parquet(args.out)
+            # --out was verified empty above, so this counts exactly this
+            # run's output (metadata-only read, no second data pass)
             n_out = rd.read_parquet(args.out).count()
             print(
                 json.dumps(

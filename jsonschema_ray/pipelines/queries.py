@@ -710,7 +710,16 @@ def q_curate(sf_dir: str):
     from .curate import curate_corpus
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return curate_corpus(ds, jaccard_threshold=0.5, min_tokens=5, max_stop_ratio=0.18)
+    # pair_method pinned to the SQL-expressible exact path: the oracle's
+    # recursive CTE enumerates exact-Jaccard pairs.  Production default is
+    # "auto" (density-routed; see pipelines/curate.py).
+    return curate_corpus(
+        ds,
+        jaccard_threshold=0.5,
+        min_tokens=5,
+        max_stop_ratio=0.18,
+        pair_method="exact",
+    )
 
 
 CURATE_SQL = r"""
@@ -1119,14 +1128,20 @@ RESIZE_DECODE_SQL = _resize_decode_sql()
 
 
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-duplicate pairs (auto-routed: exact broadcast
-    matmul while the matrix fits the object-store budget, LSH beyond)."""
+    """Embedding-cosine near-duplicate pairs.
+
+    Pinned ``method="exact"`` because the DuckDB oracle computes exact
+    all-pairs: ``"auto"`` may route to LSH on a host with a small object
+    store, and at threshold 0.2 the hyperplane-LSH recall is near zero
+    (codes agree with prob ~0.56^12 per table), so the oracle comparison
+    would fail per-environment.  Production entry points (curate CLI,
+    ``embedding_dup_pairs`` default) keep ``"auto"``."""
     import ray.data as rd
 
     from ..stages.dedup import embedding_dup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=0.2, method="auto")
+    return embedding_dup_pairs(ds, threshold=0.2, method="exact")
 
 
 EMBEDDING_DUPS_SQL = """
@@ -1660,7 +1675,8 @@ def q_embed_dedup(sf_dir: str):
     emb = embed_texts(ds).map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
     )
-    return embedding_dup_pairs(emb, threshold=0.9, method="auto")
+    # exact pinned for oracle determinism (see q_embedding_dups)
+    return embedding_dup_pairs(emb, threshold=0.9, method="exact")
 
 
 def q_role_tool_matrix(sf_dir: str):

@@ -18,9 +18,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pick_num_buckets", "bucketed_map_groups", "group_bounds"]
+__all__ = ["pick_num_buckets", "bucketed_map_groups", "group_bounds", "hash_normalized"]
 
 _BUCKET_COL = "__bucket"
+
+
+def hash_normalized(arr: np.ndarray) -> np.ndarray:
+    """``pd.util.hash_array`` with dtype-width normalization: int32(-1)
+    and int64(-1) hash differently, so the two sides of any keyed exchange
+    must hash through the same widened type or equal keys never meet."""
+    if arr.dtype == object:
+        return pd.util.hash_array(arr.astype(object))
+    if arr.dtype.kind in "iub":
+        arr = arr.astype(np.int64, copy=False)
+    elif arr.dtype.kind == "f":
+        arr = arr.astype(np.float64, copy=False)
+    return pd.util.hash_array(arr)
 
 
 def _plan_size_estimate(ds) -> int | None:
@@ -89,10 +102,7 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int | None = None):
         h = np.zeros(t.num_rows, dtype=np.uint64)
         for c in keys:
             arr = t[c].combine_chunks().to_numpy(zero_copy_only=False)
-            if arr.dtype == object:
-                hc = pd.util.hash_array(arr.astype(object))
-            else:
-                hc = pd.util.hash_array(arr)
+            hc = hash_normalized(arr)
             h = h * np.uint64(1000003) ^ hc
         return t.append_column(_BUCKET_COL, pa.array((h % nb).astype(np.int32)))
 

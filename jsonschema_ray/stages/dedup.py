@@ -349,6 +349,8 @@ def minhash_lsh_pairs(
     text_col="text",
     id_col="doc_id",
     verify: bool = True,
+    hot_bucket_cap: int | None = None,
+    min_band_matches: int = 1,
 ):
     """→ Dataset (a, b, jaccard): banded-LSH candidates verified with exact
     Jaccard, end to end distributed.
@@ -360,8 +362,27 @@ def minhash_lsh_pairs(
     exact-Jaccard pass.  At high duplicate density the verification join
     ships each candidate pair's shingles — inherently quadratic in clique
     size — while clustering workloads only need edges: unverified
-    candidates cost one 16-byte row per pair, and a rare false-positive
-    edge merely over-merges a cluster.
+    candidates cost one 16-byte row per pair.  Because a downstream
+    union-find is transitive, a single false-positive edge merges two whole
+    clusters (and cluster dedup then deletes every unique doc of the
+    absorbed cluster) — ``min_band_matches`` is the guard: require a pair
+    to collide in at least that many of the ``bands`` bands before it
+    becomes an edge.  At 2, the FP probability for a pair of true
+    similarity j drops from ~b·j^r to ~(b·j^r)²/2 (j^r ≪ 1 for
+    non-duplicates) while true near-dups above the S-curve knee still match
+    many bands.  Default 1 = classic LSH (oracle parity).
+
+    ``hot_bucket_cap`` (default None = lossless) bounds the quadratic
+    pair blowup of band buckets larger than the cap: instead of the
+    all-pairs enumeration (m·(m-1)/2 edges), an over-cap bucket emits a
+    CHAIN over its id-sorted members (m-1 edges) — for clustering, a chain
+    connects the bucket exactly as well as the clique, at linear cost.  A
+    bucket that large agreeing on a full band (r = k/bands minhashes) is
+    statistical proof of true similarity, so chain edges bypass the
+    ``min_band_matches`` floor (which guards against the one-off random
+    band collisions that only ever produce small buckets).  The pair LIST
+    is no longer exhaustive above the cap — use the default for
+    ``verify=True`` / oracle runs.
     """
     r = k // bands
     sigs = minhash_signatures(ds, k=k, n=n)
@@ -388,13 +409,19 @@ def minhash_lsh_pairs(
 
     from .bucketing import bucketed_map_groups, group_bounds
 
+    _CAND_EMPTY = pd.DataFrame({"a": [], "b": [], "_nb": []}).astype(
+        {"a": np.int64, "b": np.int64, "_nb": np.int64}
+    )
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # Pairs sharing an LSH band bucket, vectorized across all (band,
-        # bhash) groups hashed into this shuffle bucket.
+        # bhash) groups hashed into this shuffle bucket.  Emits the number
+        # of band-collisions seen locally (``_nb``) so the pair-keyed
+        # exchange can enforce ``min_band_matches`` globally.
         df = df.drop_duplicates(["band", "bhash", "doc_id"])
         df = df[df.duplicated(["band", "bhash"], keep=False)]
         if df.empty:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": np.int64, "b": np.int64})
+            return _CAND_EMPTY
         df = df.sort_values(["band", "bhash", "doc_id"], kind="stable")
         key = (
             df["band"].to_numpy(np.uint64) << np.uint64(48)
@@ -402,18 +429,41 @@ def minhash_lsh_pairs(
         ids = df["doc_id"].to_numpy()
         starts, ends = group_bounds(key)
         out_a, out_b = [], []
+        chain_a, chain_b = [], []
         for s, e in zip(starts, ends):
             cnt = e - s
-            if cnt < 2 or cnt > 500:  # hot-bucket cap (skew guard)
+            if cnt < 2:
+                continue
+            if hot_bucket_cap is not None and cnt > hot_bucket_cap:
+                # chain instead of clique: m-1 edges keep the bucket
+                # connected for downstream components at linear cost
+                chain_a.append(ids[s : e - 1])
+                chain_b.append(ids[s + 1 : e])
                 continue
             ai, bi = np.triu_indices(cnt, k=1)
             out_a.append(ids[s:e][ai])
             out_b.append(ids[s:e][bi])
-        if not out_a:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": np.int64, "b": np.int64})
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-        ).drop_duplicates()
+        if not out_a and not chain_a:
+            return _CAND_EMPTY
+        parts = []
+        if out_a:
+            g = (
+                pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+                .groupby(["a", "b"], sort=False)
+                .size()
+                .reset_index(name="_nb")
+            )
+            parts.append(g)
+        if chain_a:
+            # a giant full-band agreement is already high-confidence:
+            # _nb = bands makes chain edges pass any min_band_matches
+            c = pd.DataFrame(
+                {"a": np.concatenate(chain_a), "b": np.concatenate(chain_b)}
+            ).drop_duplicates()
+            c["_nb"] = np.int64(bands)
+            parts.append(c)
+        g = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        return g.astype({"a": np.int64, "b": np.int64, "_nb": np.int64})
 
     cand = bucketed_map_groups(
         sigs.map_batches(band_rows, batch_format="pyarrow"),
@@ -425,7 +475,8 @@ def minhash_lsh_pairs(
     # shingles never land on the driver (a near-dup-heavy 100 TB corpus can
     # produce far more candidate pairs than a driver heap holds):
     #  1. one pair-keyed exchange collapses cross-band duplicate pairs
-    #     (a true near-dup matches in many of the ``bands`` bands);
+    #     (a true near-dup matches in many of the ``bands`` bands) and
+    #     enforces the global ``min_band_matches`` floor;
     #  2. each pair explodes into two (doc_id, a, b) side rows, equi-joined
     #     to the docs' shingle rows (one aligned hash exchange on doc_id);
     #  3. one pair-keyed exchange co-locates both docs' shingles per pair —
@@ -433,8 +484,18 @@ def minhash_lsh_pairs(
     #     from both sides, the same counting kernel jaccard_pairs_exact uses.
     from .joins import hash_join
 
+    _PAIR_EMPTY = pd.DataFrame({"a": [], "b": []}).astype(
+        {"a": np.int64, "b": np.int64}
+    )
+
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["a", "b"])
+        g = df.groupby(["a", "b"], sort=False)["_nb"].sum().reset_index()
+        g = g[g["_nb"] >= min_band_matches]
+        if g.empty:
+            return _PAIR_EMPTY
+        return pd.DataFrame(
+            {"a": g["a"].to_numpy(np.int64), "b": g["b"].to_numpy(np.int64)}
+        )
 
     cand = bucketed_map_groups(cand, ["a", "b"], dedup_pairs)
     if not verify:
@@ -565,15 +626,28 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     )
 
 
-def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
+def simhash_pairs(
+    ds,
+    max_hamming: int = 3,
+    text_col="text",
+    id_col="doc_id",
+    hot_bucket_cap: int | None = None,
+):
     """→ Dataset (a, b, hamming): doc pairs with SimHash Hamming distance
     ≤ ``max_hamming``, end to end distributed.
 
     Pigeonhole candidate generation: with 4 disjoint 16-bit sub-keys,
     Hamming ≤ 3 guarantees at least one sub-key is untouched, so bucketing
-    on each of the four sub-keys finds every qualifying pair (no false
-    negatives).  Candidates verify with an exact popcount of the XOR;
-    cross-quarter duplicate pairs collapse in a final pair-keyed exchange.
+    on each of the four sub-keys finds every qualifying pair — **no false
+    negatives while ``hot_bucket_cap`` is None** (the default).  With a cap
+    set, an over-cap bucket verifies only the CHAIN of its id-sorted
+    members (m-1 popcounts instead of m·(m-1)/2): every emitted pair is
+    still exactly verified (precision stays 1.0), and a genuinely
+    near-identical clique stays connected for downstream clustering, but
+    the pair list is no longer exhaustive inside giant buckets — a
+    documented, opt-in recall trade, never silent default behavior.
+    Candidates verify with an exact popcount of the XOR; cross-quarter
+    duplicate pairs collapse in a final pair-keyed exchange.
     """
     from .bucketing import bucketed_map_groups, group_bounds
 
@@ -613,9 +687,14 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col="text", id_col="doc_id"):
         out_a, out_b, out_h = [], [], []
         for s, e in zip(starts, ends):
             cnt = e - s
-            if cnt < 2 or cnt > 1000:  # hot-bucket cap (skew guard)
+            if cnt < 2:
                 continue
-            ai, bi = np.triu_indices(cnt, k=1)
+            if hot_bucket_cap is not None and cnt > hot_bucket_cap:
+                # chain mode: verify consecutive id-sorted members only
+                ai = np.arange(cnt - 1)
+                bi = ai + 1
+            else:
+                ai, bi = np.triu_indices(cnt, k=1)
             ham = _popcount64(sh[s:e][ai] ^ sh[s:e][bi])
             keep = ham <= max_hamming
             out_a.append(ids[s:e][ai[keep]])

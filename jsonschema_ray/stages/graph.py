@@ -80,7 +80,16 @@ def connected_components(
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
 
-    if edges.count() <= driver_threshold:
+    n_edges = edges.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        # typed empty: an all-empty dataset loses its schema through
+        # to_pandas, and downstream unions/sorts stall on schemaless blocks
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        )
+    if n_edges <= driver_threshold:
         import ray.data as rd
 
         return rd.from_arrow(_driver_union_find(edges.to_pandas()))

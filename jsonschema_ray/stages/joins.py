@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .bucketing import pick_num_buckets
+from .bucketing import hash_normalized, pick_num_buckets
 
 
 def _type_of_map(*datasets) -> dict[str, pa.DataType]:
@@ -31,6 +31,8 @@ def _type_of_map(*datasets) -> dict[str, pa.DataType]:
     out: dict[str, pa.DataType] = {}
     for ds in datasets:
         sch = ds.schema()
+        if sch is None:  # a fully-empty dataset reports no schema
+            continue
         for n, t in zip(sch.names, sch.types):
             if not isinstance(t, pa.DataType):
                 try:
@@ -75,7 +77,7 @@ def asof_join(
     def tag(side: str, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             key = t[by].combine_chunks().to_numpy(zero_copy_only=False)
-            b = (pd.util.hash_array(key) % nb).astype(np.int32)
+            b = (hash_normalized(key) % nb).astype(np.int32)
             cols = {}
             for c in all_cols:
                 if c in (by, on) or c in own:
@@ -176,7 +178,7 @@ def hash_join(
     def tag(side: str, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             key = t[on].combine_chunks().to_numpy(zero_copy_only=False)
-            b = (pd.util.hash_array(key) % nb).astype(np.int32)
+            b = (hash_normalized(key) % nb).astype(np.int32)
             cols = {}
             for c in all_cols:
                 if c == on or c in own:
@@ -218,11 +220,16 @@ def hash_join(
 
 
 def _bloom_hashes(vals: np.ndarray, n_bits: int, k_hashes: int) -> np.ndarray:
-    """(len(vals), k) bit positions via double hashing h1 + i·h2."""
-    if vals.dtype == object:
-        h1 = pd.util.hash_array(vals.astype(object))
-    else:
-        h1 = pd.util.hash_array(vals)
+    """(len(vals), k) bit positions via double hashing h1 + i·h2.
+
+    Dtypes are normalized before hashing: ``pd.util.hash_array`` is
+    width-sensitive for negative integers (int32 -1 and int64 -1 hash
+    differently), so a left int32 key column probed against a right int64
+    filter would silently drop true matches — violating the no-false-
+    negatives contract.  Both sides hash through the same widened type."""
+    from .bucketing import hash_normalized
+
+    h1 = hash_normalized(vals)
     h2 = h1 * np.uint64(0x9E3779B97F4A7C15) ^ np.uint64(0xD1B54A32D192ED03)
     h2 |= np.uint64(1)
     out = np.empty((len(vals), k_hashes), dtype=np.uint64)

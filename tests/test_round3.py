@@ -1,0 +1,178 @@
+"""Round-3 regressions: ADVICE fixes (bloom dtype widths, hot-bucket chain
+mode, LSH false-positive guard, curate auto-routing, CLI --out hygiene)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    yield
+
+
+def test_bloom_semi_join_mixed_int_widths():
+    """int32 left keys vs int64 right keys must not produce Bloom false
+    negatives (pd.util.hash_array is width-sensitive for negative ints)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.joins import bloom_semi_join
+
+    left = pd.DataFrame(
+        {"k": np.array([-1, -2, 3, 4, -5], dtype=np.int32), "v": range(5)}
+    )
+    right = pd.DataFrame({"k": np.array([-1, 3, -5, 99], dtype=np.int64)})
+    out = bloom_semi_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", left_cols=["v"]
+    ).to_pandas()
+    assert set(out["k"].astype(int)) == {-1, 3, -5}
+
+
+def test_minhash_min_band_matches_keeps_near_dups():
+    """min_band_matches=2 must keep genuinely similar pairs (they collide
+    in many bands) while remaining a subset of the classic candidates."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [base, base + " x", base + " x y", "completely different words here"],
+        }
+    )
+    strict = minhash_lsh_pairs(
+        rd.from_pandas(df), threshold=0.5, verify=False, min_band_matches=2
+    ).to_pandas()
+    classic = minhash_lsh_pairs(
+        rd.from_pandas(df), threshold=0.5, verify=False
+    ).to_pandas()
+    s = {(int(a), int(b)) for a, b in zip(strict["a"], strict["b"])}
+    c = {(int(a), int(b)) for a, b in zip(classic["a"], classic["b"])}
+    assert s <= c
+    assert {(0, 1), (0, 2), (1, 2)} <= s  # near-identical trio survives
+
+
+def test_minhash_hot_bucket_chain_keeps_clique_connected():
+    """A clique far above hot_bucket_cap must still come out CONNECTED
+    (chain edges), so cluster dedup keeps exactly one representative —
+    the r2 behavior (cap skipped the bucket entirely) lost the clique."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import minhash_lsh_pairs
+    from jsonschema_ray.stages.graph import connected_components
+
+    n = 60
+    text = " ".join(f"tok{i}" for i in range(12))
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": text})
+    pairs = minhash_lsh_pairs(
+        rd.from_pandas(docs), threshold=0.5, verify=False, hot_bucket_cap=10
+    )
+    comp = connected_components(pairs).to_pandas()
+    assert comp["component"].nunique() == 1
+    assert len(comp) == n
+
+
+def test_simhash_hot_bucket_chain_still_verified():
+    """Chain-mode simhash pairs stay popcount-verified (hamming ≤ max) and
+    keep an over-cap near-identical clique connected."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import simhash_pairs
+    from jsonschema_ray.stages.graph import connected_components
+
+    n = 40
+    text = " ".join(f"tok{i}" for i in range(30))
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": text})
+    out = simhash_pairs(rd.from_pandas(docs), max_hamming=3, hot_bucket_cap=8)
+    df = out.to_pandas()
+    assert (df["hamming"] <= 3).all()
+    comp = connected_components(
+        out.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    ).to_pandas()
+    assert comp["component"].nunique() == 1
+
+
+def test_simhash_pairs_default_is_lossless():
+    """Default (no cap) still enumerates every Hamming≤3 pair of a clique
+    above the old hardcoded 1000 cap's reach (brute-force check)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import simhash_pairs
+
+    n = 25
+    text = " ".join(f"tok{i}" for i in range(30))
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": text})
+    df = simhash_pairs(rd.from_pandas(docs), max_hamming=3).to_pandas()
+    assert len(df) == n * (n - 1) // 2  # identical docs: all pairs, hamming 0
+    assert (df["hamming"] == 0).all()
+
+
+def test_route_pair_method_thresholds():
+    from jsonschema_ray.pipelines.curate import route_pair_method
+
+    assert route_pair_method(1000, 990, 3) == "exact"
+    assert route_pair_method(1000, 700, 3) == "minhash_fast"  # 30% dups
+    assert route_pair_method(10_000_000, 9_999_000, 5000) == "minhash_fast"
+    assert route_pair_method(0, 0, 0) == "exact"
+
+
+def test_curate_auto_routes_and_loses_no_unique_docs():
+    """Dup-heavy corpus through curate_corpus() with NO pair_method: the
+    auto route must pick the fast path AND keep every unique document
+    (the ADVICE failure mode: one FP edge absorbs a cluster and deletes
+    its unique docs)."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import curate as cur
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    uniques = [
+        " ".join(rng.choice(vocab, size=25)) for _ in range(120)
+    ]
+    dup_text = " ".join(f"dup{i}" for i in range(25))
+    texts = uniques + [dup_text] * 80  # 40% exact-dup density
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+
+    picked = {}
+    orig = cur.route_pair_method
+
+    def spy(n, d, m):
+        picked["method"] = orig(n, d, m)
+        return picked["method"]
+
+    cur.route_pair_method, _saved = spy, orig
+    try:
+        out = cur.curate_corpus(rd.from_pandas(df), jaccard_threshold=0.5).to_pandas()
+    finally:
+        cur.route_pair_method = _saved
+    assert picked["method"] == "minhash_fast"
+    # every unique doc survives; the dup clique keeps exactly one
+    assert set(out["doc_id"]) >= set(range(120))
+    assert len(out[out["doc_id"] >= 120]) == 1
+
+
+def test_cli_curate_refuses_dirty_out(tmp_path):
+    from jsonschema_ray.cli import main
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "a b c"]}).to_parquet(
+        src / "part.parquet"
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "stale.parquet").write_bytes(b"junk")
+    rc = main(["curate", "--input", str(src), "--out", str(out)])
+    assert rc == 2
