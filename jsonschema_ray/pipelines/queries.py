@@ -1534,19 +1534,39 @@ def q_ngram_counts(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
+    _EMPTY = pa.table({"gram": pa.array([], pa.string()), "_n": pa.array([], pa.int64())})
+
     def local_counts(t: pa.Table) -> pa.Table:
-        grams: dict[str, int] = {}
-        for s in t["text"].to_pylist():
-            toks = (s or "").split()
-            for i in range(len(toks) - 1):
-                g = toks[i] + " " + toks[i + 1]
-                grams[g] = grams.get(g, 0) + 1
-        if not grams:
-            return pa.table({"gram": pa.array([], pa.string()), "_n": pa.array([], pa.int64())})
+        # bigram hashes = polynomial combine of consecutive token hashes
+        # (shared byte-buffer kernel, no per-row Python); counting is one
+        # np.unique; only the UNIQUE grams of the batch materialize as
+        # strings (sliced straight from the byte buffer)
+        from ..stages.tokhash import POLY_B, batch_token_hashes
+
+        np.seterr(over="ignore")  # uint64 wraparound IS the mixing
+        th, sg, _ntok, lens, (starts, buf) = batch_token_hashes(
+            t["text"], include_lens=True, include_spans=True
+        )
+        if len(th) < 2:
+            return _EMPTY
+        same_doc = sg[1:] == sg[:-1]
+        bh = th[:-1] * POLY_B + th[1:]
+        uniq, first, counts = np.unique(
+            bh[same_doc], return_index=True, return_counts=True
+        )
+        if not len(uniq):
+            return _EMPTY
+        pos = np.flatnonzero(same_doc)[first]  # index of the bigram's 1st token
+        grams = [
+            buf[starts[i] : starts[i] + lens[i]].tobytes().decode()
+            + " "
+            + buf[starts[i + 1] : starts[i + 1] + lens[i + 1]].tobytes().decode()
+            for i in pos
+        ]
         return pa.table(
             {
-                "gram": pa.array(list(grams.keys()), pa.string()),
-                "_n": pa.array(np.fromiter(grams.values(), np.int64, len(grams))),
+                "gram": pa.array(grams, pa.string()),
+                "_n": pa.array(counts.astype(np.int64)),
             }
         )
 

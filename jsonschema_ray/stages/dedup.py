@@ -51,10 +51,6 @@ def _hash_str_array(arr) -> np.ndarray:
     return pd.util.hash_array(np.asarray(arr, dtype=object))
 
 
-def _tokenize(text: str) -> list[str]:
-    return text.split()
-
-
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "hash"):
     """→ Dataset (doc_id_kept, n_copies) one row per distinct content.
 
@@ -104,23 +100,18 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
 _SHINGLE_P = np.uint64(1099511628211)
 
 
-def _batch_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """All docs' deduped shingle hashes in one pass: tokens hashed ONCE for
-    the whole batch, n-gram hashes formed by a vectorized polynomial
-    combine of consecutive token hashes (no shingle strings are ever
-    built), per-segment dedup via lexsort.  → (hashes, seg_ids),
+def _batch_shingles(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' deduped shingle hashes in one pass over the Arrow string
+    column's byte buffer (stages/tokhash.py — zero per-row Python): n-gram
+    hashes formed by a vectorized polynomial combine of consecutive token
+    hashes (no shingle strings are ever built).  → (hashes, seg_ids),
     segment-sorted (all of doc i's shingles contiguous)."""
     np.seterr(over="ignore")  # uint64 wraparound IS the mixing
-    all_toks: list[str] = []
-    seg: list[int] = []
-    for i, text in enumerate(texts):
-        tk = (text or "").split()
-        all_toks.extend(tk)
-        seg.extend([i] * len(tk))
-    if not all_toks:
+    from .tokhash import batch_token_hashes
+
+    th, sg, _ntok = batch_token_hashes(col)
+    if len(th) == 0:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    th = pd.util.hash_array(np.asarray(all_toks, dtype=object))
-    sg = np.asarray(seg, dtype=np.int64)
     m = len(th)
     parts_h: list[np.ndarray] = []
     parts_s: list[np.ndarray] = []
@@ -133,7 +124,7 @@ def _batch_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
         parts_h.append(comb[valid])
         parts_s.append(sg[: m - n + 1][valid])
     # docs with fewer than n tokens hash their whole token run
-    counts = np.bincount(sg, minlength=max(seg) + 1 if seg else 0)
+    counts = _ntok
     short_docs = np.flatnonzero((counts > 0) & (counts < n))
     if len(short_docs):
         starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
@@ -170,7 +161,7 @@ def shingle_rows(ds, text_col="text", id_col="doc_id", n: int = 3):
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        h, seg = _batch_shingles(t[text_col].to_pylist(), n)
+        h, seg = _batch_shingles(t[text_col], n)
         counts = np.bincount(seg, minlength=t.num_rows) if len(seg) else np.zeros(t.num_rows, np.int64)
         return pa.table(
             {
@@ -306,7 +297,7 @@ class MinHasher:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
         n_docs = t.num_rows
-        h, seg = _batch_shingles(t[self.text_col].to_pylist(), self.n)
+        h, seg = _batch_shingles(t[self.text_col], self.n)
         sig = np.full((n_docs, self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
         if len(h):
             counts = np.bincount(seg, minlength=n_docs)
@@ -575,37 +566,31 @@ def minhash_lsh_pairs(
 def simhash64(ds, text_col="text", id_col="doc_id"):
     """→ Dataset (doc_id, simhash int64): 64-bit sign-sum over word hashes.
 
-    Vectorized across the whole batch: one hash_array call for every token,
-    then per bit a 1-D ``np.add.reduceat`` over document segments — no
-    (tokens × 64) matrix, no per-document Python."""
+    Tokens come from the zero-copy byte-buffer kernel (stages/tokhash.py);
+    the bit-count is ONE ``unpackbits`` + ONE segment ``add.reduceat`` over
+    a (tokens × 64) int32 matrix instead of 64 shift/mask/reduce passes.
+    The token hash (byte polynomial + splitmix64 mix) is SQL-replicable,
+    so simhash values carry a full DuckDB value oracle
+    (queries.SIMHASH_SQL)."""
+    from .tokhash import batch_token_hashes
 
     def compute(t: pa.Table) -> pa.Table:
         n = t.num_rows
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        all_toks: list[str] = []
-        seg: list[int] = []
-        for i, text in enumerate(t[text_col].to_pylist()):
-            tk = _tokenize(text or "")
-            all_toks.extend(tk)
-            seg.extend([i] * len(tk))
+        th, _sg, ntok = batch_token_hashes(t[text_col])
         out = np.zeros(n, dtype=np.uint64)
-        if all_toks:
-            h = pd.util.hash_array(np.asarray(all_toks, dtype=object))
-            sg = np.asarray(seg, dtype=np.int64)
-            counts = np.bincount(sg, minlength=n)
-            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
-            nonempty = counts > 0
-            st = starts[nonempty]
-            cnt_ne = counts[nonempty].astype(np.int64)
-            tmp = np.empty(len(h), np.uint64)
-            sim_ne = np.zeros(int(nonempty.sum()), dtype=np.uint64)
-            for b in range(64):
-                np.right_shift(h, np.uint64(b), out=tmp)
-                np.bitwise_and(tmp, np.uint64(1), out=tmp)
-                ones = np.add.reduceat(tmp, st).astype(np.int64)
-                score = 2 * ones - cnt_ne  # (+1 per set bit, -1 per clear)
-                sim_ne |= (score > 0).astype(np.uint64) << np.uint64(b)
-            out[nonempty] = sim_ne
+        if len(th):
+            # (n_tok, 64) bit matrix, bit b in column b (little-endian)
+            bits = np.unpackbits(
+                th[:, None].view(np.uint8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            nonempty = ntok > 0
+            starts = np.concatenate([[0], np.cumsum(ntok)])[:-1][nonempty]
+            ones = np.add.reduceat(bits, starts, axis=0)
+            cnt = ntok[nonempty][:, None].astype(np.int32)
+            bitvals = (2 * ones - cnt) > 0  # (+1 per set bit, -1 per clear)
+            packed = np.packbits(bitvals, axis=1, bitorder="little")
+            out[nonempty] = packed.reshape(-1, 8).copy().view(np.uint64).ravel()
         return pa.table(
             {
                 "doc_id": pa.array(ids.astype(np.int64)),

@@ -62,27 +62,21 @@ def token_stats(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-def _exploded_tokens(t: pa.Table, text_col: str):
-    """(token Series indexed by row position, n_tokens per row) — one
-    str.split + explode for the whole batch, no per-document Python."""
-    s = pd.Series(t[text_col].to_pylist()).fillna("")
-    tok = s.str.split()
-    n_tok = tok.str.len().to_numpy().astype(np.int64)
-    ex = tok.explode().dropna()
-    return ex, n_tok
-
-
 def quality_scores(ds, text_col="text", id_col="doc_id", stopwords=STOPWORDS):
-    stop = frozenset(stopwords)
+    """Token counts, stopword ratio, mean token length — all computed from
+    the zero-copy byte-buffer token kernel (stages/tokhash.py): stopword
+    membership is an ``np.isin`` against the hashed stopword set, token
+    length is the byte length (== codepoint length for ASCII corpora, the
+    unit the SQL oracle uses)."""
+    from .tokhash import batch_token_hashes, hash_words
+
+    stop_h = np.sort(hash_words(sorted(set(stopwords))))
 
     def score(t: pa.Table) -> pa.Table:
-        ex, n_tok = _exploded_tokens(t, text_col)
-        idx = ex.index.to_numpy().astype(np.int64)
+        th, sg, n_tok, lens = batch_token_hashes(t[text_col], include_lens=True)
         n = t.num_rows
-        sum_stop = np.bincount(idx, weights=ex.isin(stop).to_numpy(), minlength=n)
-        sum_len = np.bincount(
-            idx, weights=ex.str.len().to_numpy().astype(np.float64), minlength=n
-        )
+        sum_stop = np.bincount(sg, weights=np.isin(th, stop_h), minlength=n)
+        sum_len = np.bincount(sg, weights=lens.astype(np.float64), minlength=n)
         denom = np.maximum(n_tok, 1).astype(np.float64)
         has = n_tok > 0
         return pa.table(
@@ -108,13 +102,14 @@ def quality_filter(
     """Drop rows failing the quality gate, in-place per batch — the same
     metrics as :func:`quality_scores`, but no separate dataset and no
     join back (a curation pipeline wants surviving ROWS, not scores)."""
-    stop = frozenset(stopwords)
+    from .tokhash import batch_token_hashes, hash_words
+
+    stop_h = np.sort(hash_words(sorted(set(stopwords))))
 
     def keep(t: pa.Table) -> pa.Table:
-        ex, n_tok = _exploded_tokens(t, text_col)
-        idx = ex.index.to_numpy().astype(np.int64)
+        th, sg, n_tok = batch_token_hashes(t[text_col])
         n = t.num_rows
-        sum_stop = np.bincount(idx, weights=ex.isin(stop).to_numpy(), minlength=n)
+        sum_stop = np.bincount(sg, weights=np.isin(th, stop_h), minlength=n)
         denom = np.maximum(n_tok, 1).astype(np.float64)
         ratio = np.where(n_tok > 0, sum_stop / denom, 0.0)
         ok = (n_tok >= min_tokens) & (np.round(ratio, 6) <= max_stop_ratio)
@@ -127,21 +122,26 @@ class LangId:
     """Marker-word language ID; tables compiled once per actor."""
 
     def __init__(self, text_col="text", id_col="doc_id", markers=None) -> None:
+        from .tokhash import hash_words
+
         self.text_col, self.id_col = text_col, id_col
-        self.markers = {
-            lang: frozenset(words) for lang, words in (markers or LANG_MARKERS).items()
+        markers = markers or LANG_MARKERS
+        self.langs = sorted(markers)
+        # marker hash tables compiled once per actor
+        self.marker_h = {
+            lang: np.sort(hash_words(sorted(set(markers[lang])))) for lang in self.langs
         }
-        self.langs = sorted(self.markers)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ex, _ = _exploded_tokens(t, self.text_col)
-        idx = ex.index.to_numpy().astype(np.int64)
+        from .tokhash import batch_token_hashes
+
+        th, sg, _ntok = batch_token_hashes(t[self.text_col])
         n = t.num_rows
         # (rows × langs) marker-hit matrix via one isin + bincount per lang
         scores = np.zeros((n, len(self.langs)), dtype=np.int64)
         for j, lang in enumerate(self.langs):
-            hits = ex.isin(self.markers[lang]).to_numpy()
-            scores[:, j] = np.bincount(idx, weights=hits, minlength=n)
+            hits = np.isin(th, self.marker_h[lang])
+            scores[:, j] = np.bincount(sg, weights=hits, minlength=n)
         # deterministic argmax: highest score, alphabetical tie-break
         # (langs sorted ⇒ np.argmax's first-max IS the alphabetical winner)
         best = np.argmax(scores, axis=1)

@@ -1,0 +1,189 @@
+"""Vectorized byte-level tokenizer + token hashing — THE text kernel.
+
+Replaces the per-row Python tokenize loops that fed the engine's slowest
+stages (shingles, simhash, quality scores, lang-id: VERDICT r2 item 2).
+Everything operates directly on the Arrow string column's UTF-8 data
+buffer — zero-copy, no per-document Python, no token string objects:
+
+* tokens are maximal runs of non-whitespace BYTES, whitespace being the
+  RE2 ``\\s`` class ``[\\t\\n\\f\\r ]`` — ASCII bytes never occur inside
+  multi-byte UTF-8 sequences, so byte-level splitting is codepoint-safe;
+* token hashes are a base-``B`` polynomial over the token's bytes
+  (mod 2^64) finished with the splitmix64 mixer.  Computed with a
+  position-loop over length-sorted tokens: pass ``j`` extends every token
+  longer than ``j`` by one byte, so total work is O(total bytes) with
+  O(max token length) numpy passes and no per-token Python.
+
+The hash is deliberately SQL-replicable (DuckDB HUGEINT arithmetic mod
+2^64 + ``unicode(tok[i])`` per char — identical to the byte value for
+ASCII corpora), so simhash/shingle queries can carry full value-checking
+DuckDB oracles; see :data:`TOKHASH_SQL_MACROS`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "batch_token_hashes",
+    "hash_words",
+    "mix64",
+    "TOKHASH_SQL_MACROS",
+    "POLY_B",
+]
+
+POLY_B = np.uint64(1099511628211)  # odd → invertible mod 2^64
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+# RE2 \s (Go regexp, reference's pattern engine): tab, newline, formfeed,
+# carriage return, space.  DuckDB regexps are RE2 too, so '\S+' means the
+# same token class on both sides.
+_WS_BYTES = (9, 10, 12, 13, 32)
+
+
+def mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (uint64 wraparound), vectorized."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= _MIX1
+    h ^= h >> np.uint64(27)
+    h *= _MIX2
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _poly_hash_spans(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Polynomial hash of each (start, len) span of ``data`` — length-
+    sorted position loop, O(total bytes) work, no per-span Python."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    order = np.argsort(-lens, kind="stable")
+    s_starts = starts[order]
+    s_lens = lens[order]
+    h = np.zeros(n, dtype=np.uint64)
+    max_len = int(s_lens[0])
+    # number of spans still active at offset j: s_lens sorted descending
+    actives = np.searchsorted(-s_lens, -np.arange(1, max_len + 1), side="right")
+    for j in range(max_len):
+        m = actives[j]
+        if m == 0:
+            break
+        hj = h[:m]
+        hj *= POLY_B
+        hj += data[s_starts[:m] + j].astype(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return mix64(out)
+
+
+def _string_bytes_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(byte buffer view, per-row [start, end) offsets) for an Arrow
+    string array — zero-copy from the Arrow buffers."""
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1, offset=arr.offset * np.dtype(off_dtype).itemsize).astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offsets
+
+
+def batch_token_hashes(col, include_lens: bool = False, include_spans: bool = False):
+    """→ (tok_hash uint64[n_tok], tok_doc int64[n_tok], n_tokens int64[n_docs]
+    [, tok_len int64[n_tok]][, (starts int64[n_tok], bytes uint8[])]) for
+    an Arrow string column/array.
+
+    Null rows count as empty.  ``tok_doc`` is segment-sorted (all of doc
+    i's tokens contiguous, in document order).  ``include_spans`` also
+    returns each token's byte span so a caller can reconstruct the few
+    token STRINGS it actually needs (e.g. top-k output rows) without any
+    per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        arr = col.combine_chunks()
+    else:
+        arr = col
+    n_docs = len(arr)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    data, offsets = _string_bytes_view(arr)
+    total = int(offsets[-1] - offsets[0])
+    if total == 0:
+        out = [np.empty(0, np.uint64), np.empty(0, np.int64), np.zeros(n_docs, np.int64)]
+        if include_lens:
+            out.append(np.empty(0, np.int64))
+        if include_spans:
+            out.append((np.empty(0, np.int64), np.empty(0, np.uint8)))
+        return tuple(out)
+
+    base = offsets[0]
+    b = data[base : offsets[-1]]
+    nonws = np.ones(len(b), dtype=bool)
+    for w in _WS_BYTES:
+        nonws &= b != w
+
+    # a token starts at a non-ws byte preceded by ws / buffer start / a
+    # document boundary (documents are contiguous — no separator bytes)
+    prev_ws = np.empty(len(b), dtype=bool)
+    prev_ws[0] = True
+    np.logical_not(nonws[:-1], out=prev_ws[1:])
+    doc_starts = (offsets[:-1] - base)[: n_docs]
+    is_doc_start = np.zeros(len(b) + 1, dtype=bool)
+    is_doc_start[doc_starts] = True
+    tok_start_mask = nonws & (prev_ws | is_doc_start[: len(b)])
+    starts = np.flatnonzero(tok_start_mask).astype(np.int64)
+    if len(starts) == 0:
+        out = [np.empty(0, np.uint64), np.empty(0, np.int64), np.zeros(n_docs, np.int64)]
+        if include_lens:
+            out.append(np.empty(0, np.int64))
+        if include_spans:
+            out.append((np.empty(0, np.int64), b))
+        return tuple(out)
+
+    # token ends: next ws byte or document boundary at/after the start
+    breaks = np.flatnonzero(~nonws | is_doc_start[: len(b)])
+    breaks = np.concatenate([breaks, [len(b)]])
+    ends = breaks[np.searchsorted(breaks, starts, side="right")]
+    lens = ends - starts
+
+    tok_doc = np.searchsorted(offsets[1:] - base, starts, side="right").astype(np.int64)
+    n_tokens = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+    hashes = _poly_hash_spans(b, starts, lens)
+    out = [hashes, tok_doc, n_tokens]
+    if include_lens:
+        out.append(lens)
+    if include_spans:
+        out.append((starts, b))
+    return tuple(out)
+
+
+def hash_words(words) -> np.ndarray:
+    """Token hashes of a small Python word list (stopword / marker sets)
+    — byte-identical to :func:`batch_token_hashes` on the same words."""
+    np.seterr(over="ignore")  # uint64 wraparound IS the mod-2^64 hash
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = np.uint64(0)
+        for byte in w.encode("utf-8"):
+            h = h * POLY_B + np.uint64(byte)
+        out[i] = h
+    return mix64(out)
+
+
+# DuckDB macros computing the SAME token hash (HUGEINT arithmetic mod
+# 2^64; ``unicode(tok[i])`` == byte value for ASCII text).  Prepend to any
+# oracle SQL that recomputes engine token hashes.
+TOKHASH_SQL_MACROS = """
+CREATE OR REPLACE MACRO u64(x) AS ((x % 18446744073709551616) + 18446744073709551616) % 18446744073709551616;
+CREATE OR REPLACE MACRO mulmod(a, b) AS u64(u64(CAST(a AS HUGEINT) * (CAST(b AS HUGEINT) >> 32)) * 4294967296 + CAST(a AS HUGEINT) * (CAST(b AS HUGEINT) % 4294967296));
+CREATE OR REPLACE MACRO mixa(h) AS mulmod(xor(CAST(h AS HUGEINT), CAST(h AS HUGEINT) >> 30), 13787848793156543929);
+CREATE OR REPLACE MACRO mixb(h) AS mulmod(xor(CAST(h AS HUGEINT), CAST(h AS HUGEINT) >> 27), 10723151780598845931);
+CREATE OR REPLACE MACRO mix64(h) AS xor(mixb(mixa(h)), mixb(mixa(h)) >> 31);
+CREATE OR REPLACE MACRO tokpoly(tok) AS list_reduce(
+    list_transform(range(1, length(tok) + 1), i -> CAST(unicode(tok[i]) AS HUGEINT)),
+    (a, b) -> u64(a * 1099511628211 + b));
+CREATE OR REPLACE MACRO tokhash(tok) AS mix64(tokpoly(tok));
+"""
