@@ -90,12 +90,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_drift_stats": q.q_drift_stats,
         "q_decode_features": q.q_decode_features,
         "q_conformance_summary": q.q_conformance_summary,
-        # rows-only (non-SQL-expressible; pytest holds their oracles)
+        # oracle-checked since r3: the token/rolling hashes are replicated
+        # in DuckDB HUGEINT arithmetic (stages/tokhash.py), conformance
+        # re-reads the suite JSON, IVF emits a self-judged recall flag
         "q_simhash": q.q_simhash,
         "q_simhash_pairs": q.q_simhash_pairs,
         "q_fingerprints": q.q_fingerprints,
         "q_ivf_topk": q.q_ivf_topk,
         "q_conformance": q.q_conformance,
+        # rows-only (the stub embedder's random projection matrix is not
+        # SQL-expressible; pytest holds its oracle)
         "q_embed_dedup": q.q_embed_dedup,
     }
 
@@ -159,4 +163,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_decode_features": q.DECODE_FEATURES_SQL,
         "q_conformance_summary": q.CONFORMANCE_SUMMARY_SQL,
+        "q_simhash": q.SIMHASH_SQL,
+        "q_simhash_pairs": q.SIMHASH_PAIRS_SQL,
+        "q_fingerprints": q.FINGERPRINTS_SQL,
+        "q_ivf_topk": q.IVF_TOPK_SQL,
+        "q_conformance": q.CONFORMANCE_SQL,
     }

@@ -35,22 +35,18 @@ class EmbedStage:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from .tokhash import batch_token_hashes
+
         n = t.num_rows
-        all_toks: list[str] = []
-        seg: list[int] = []
-        for i, s in enumerate(t[self.text_col].to_pylist()):
-            tk = (s or "").split()
-            all_toks.extend(tk)
-            seg.extend([i] * len(tk))
+        th, _sg, ntok = batch_token_hashes(t[self.text_col])
         out = np.zeros((n, self.dim), dtype=np.float32)
-        if all_toks:
-            h = pd.util.hash_array(np.asarray(all_toks, dtype=object))
-            vecs = self.proj[(h % 256).astype(np.int64)]  # (T, dim) "token embeddings"
-            sg = np.asarray(seg, dtype=np.int64)
-            np.add.at(out, sg, vecs)
-            counts = np.bincount(sg, minlength=n).astype(np.float32)
-            nz = counts > 0
-            out[nz] /= counts[nz, None]
+        if len(th):
+            vecs = self.proj[(th % np.uint64(256)).astype(np.int64)]  # (T, dim)
+            nonempty = ntok > 0
+            starts = np.concatenate([[0], np.cumsum(ntok)])[:-1][nonempty]
+            # tokens are segment-sorted → one reduceat sums each doc's rows
+            out[nonempty] = np.add.reduceat(vecs, starts, axis=0)
+            out[nonempty] /= ntok[nonempty][:, None].astype(np.float32)
             norm = np.linalg.norm(out, axis=1, keepdims=True)
             norm[norm == 0] = 1.0
             out /= norm
