@@ -38,6 +38,29 @@ def _init_ray():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _quiet_empty_block_schema_warnings()
+
+
+def _quiet_empty_block_schema_warnings() -> None:
+    """Drop ONLY the empty-new-schema RefBundle warning.
+
+    Ray's sort under ``groupby().map_groups`` emits empty output
+    partitions without calling the UDF, so they carry no schema and the
+    executor logs a "different schema … new schema: ." warning per
+    operator — engine-side blocks are all stamped typed
+    (bucketing.bucketed_map_groups out_schema), so the residual messages
+    are Ray-internal noise.  Genuine schema divergences (non-empty new
+    schema) still warn."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("different schema" in msg and "new schema: ." in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
 
 
 def _timed(fn, reps: int = 2) -> tuple[float, object]:

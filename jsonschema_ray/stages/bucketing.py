@@ -88,13 +88,21 @@ def pick_num_buckets(ds, num_buckets: int | None, target_bytes: int = 512 << 20)
     return max(32, int(sz // target_bytes) + 1)
 
 
-def bucketed_map_groups(ds, key_cols, fn, num_buckets: int | None = None):
+def bucketed_map_groups(ds, key_cols, fn, num_buckets: int | None = None, out_schema: pa.Schema | None = None):
     """Shuffle by hash(key_cols) % P, then apply ``fn`` per bucket.
 
     ``fn`` receives a pandas DataFrame holding every row of every key-group
     hashed into the bucket (bucket column removed) and returns a DataFrame
     or pyarrow Table.
-    """
+
+    ``out_schema``: the output's Arrow schema, when the caller knows it.
+    The sort exchange under ``map_groups`` can emit EMPTY blocks (a key
+    range with no rows), and Ray never calls the UDF on those — they pass
+    through schemaless, which floods the executor log with RefBundle
+    schema warnings and is the known stall hazard for schema-dependent
+    downstream ops (union + sort).  With a schema, a fused follow-up stage
+    stamps empties typed and casts pandas dtype drift back to the declared
+    Arrow types."""
     nb = pick_num_buckets(ds, num_buckets)
     keys = list(key_cols)
 
@@ -106,7 +114,7 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int | None = None):
             h = h * np.uint64(1000003) ^ hc
         return t.append_column(_BUCKET_COL, pa.array((h % nb).astype(np.int32)))
 
-    return (
+    out = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby(_BUCKET_COL)
         .map_groups(
@@ -114,6 +122,16 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int | None = None):
             batch_format="pandas",
         )
     )
+    if out_schema is not None:
+        empty = out_schema.empty_table()
+
+        def stamp(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            return t if t.schema == out_schema else t.select(out_schema.names).cast(out_schema)
+
+        out = out.map_batches(stamp, batch_format="pyarrow")
+    return out
 
 
 def group_bounds(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -46,6 +46,24 @@ __all__ = [
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# declared Arrow output schemas for the bucketed exchanges (typed empties
+# + dtype-drift casts; see bucketing.bucketed_map_groups out_schema)
+_SCH_KEEPERS = pa.schema([("doc_id_kept", pa.int64()), ("n_copies", pa.int64())])
+_SCH_PAIRS_RAW = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("na", pa.int64()), ("nb", pa.int64())]
+)
+_SCH_PAIRS_J = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+)
+_SCH_PAIRS_NB = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("_nb", pa.int64())])
+_SCH_PAIRS = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+_SCH_PAIRS_HAM = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+)
+_SCH_PAIRS_SIM = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("sim", pa.float64())]
+)
+
 
 def _hash_str_array(arr) -> np.ndarray:
     return pd.util.hash_array(np.asarray(arr, dtype=object))
@@ -91,7 +109,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
         )
 
     keyed = ds.map_batches(partials, batch_format="pyarrow")
-    return bucketed_map_groups(keyed, [group_col], combine_bucket)
+    return bucketed_map_groups(keyed, [group_col], combine_bucket, out_schema=_SCH_KEEPERS)
 
 
 # -- shingles / exact Jaccard ------------------------------------------------
@@ -249,8 +267,8 @@ def jaccard_pairs_exact(
         )
 
     sh = shingle_rows(ds, text_col, id_col, n)
-    cand = bucketed_map_groups(sh, ["shingle"], pairs_in_bucket)
-    return bucketed_map_groups(cand, ["a", "b"], jaccard_in_bucket)
+    cand = bucketed_map_groups(sh, ["shingle"], pairs_in_bucket, out_schema=_SCH_PAIRS_RAW)
+    return bucketed_map_groups(cand, ["a", "b"], jaccard_in_bucket, out_schema=_SCH_PAIRS_J)
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -460,6 +478,7 @@ def minhash_lsh_pairs(
         sigs.map_batches(band_rows, batch_format="pyarrow"),
         ["bhash"],
         bucket_pairs,
+        out_schema=_SCH_PAIRS_NB,
     )
 
     # Verify with exact Jaccard, fully distributed — candidates and doc
@@ -488,7 +507,7 @@ def minhash_lsh_pairs(
             {"a": g["a"].to_numpy(np.int64), "b": g["b"].to_numpy(np.int64)}
         )
 
-    cand = bucketed_map_groups(cand, ["a", "b"], dedup_pairs)
+    cand = bucketed_map_groups(cand, ["a", "b"], dedup_pairs, out_schema=_SCH_PAIRS)
     if not verify:
         return cand
 
@@ -557,7 +576,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    return bucketed_map_groups(joined, ["a", "b"], verify_bucket)
+    return bucketed_map_groups(joined, ["a", "b"], verify_bucket, out_schema=_SCH_PAIRS_J)
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -696,10 +715,16 @@ def simhash_pairs(
         )
 
     cand = bucketed_map_groups(
-        sigs.map_batches(explode, batch_format="pyarrow"), ["skey"], pairs_in_bucket
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["skey"],
+        pairs_in_bucket,
+        out_schema=_SCH_PAIRS_HAM,
     )
     return bucketed_map_groups(
-        cand, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"])
+        cand,
+        ["a", "b"],
+        lambda df: df.drop_duplicates(["a", "b"]),
+        out_schema=_SCH_PAIRS_HAM,
     )
 
 
@@ -823,9 +848,14 @@ def embedding_dup_pairs(
         coded = ds.select_columns([id_col, vec_col]).map_batches(
             add_code, batch_format="pyarrow"
         )
-        pairs = bucketed_map_groups(coded, ["code"], pairs_in_bucket)
+        pairs = bucketed_map_groups(
+            coded, ["code"], pairs_in_bucket, out_schema=_SCH_PAIRS_SIM
+        )
         return bucketed_map_groups(
-            pairs, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"])
+            pairs,
+            ["a", "b"],
+            lambda df: df.drop_duplicates(["a", "b"]),
+            out_schema=_SCH_PAIRS_SIM,
         )
 
     # exact: broadcast the full normalized matrix, one matmul per batch.

@@ -116,7 +116,28 @@ def asof_join(
             allow_exact_matches=allow_exact_matches,
         )
 
-    return both.groupby("_b").map_groups(join_bucket, batch_format="pandas")
+    out_cols = [by, on, *left_cols, f"{on}{suffix}", *(f"{c}{suffix}" for c in right_cols)]
+    target = pa.schema(
+        [(by, type_of[by]), (on, type_of[on])]
+        + [(c, type_of[c]) for c in left_cols]
+        + [(f"{on}{suffix}", type_of[on])]
+        + [(f"{c}{suffix}", type_of[c]) for c in right_cols]
+    )
+
+    def recast(t: pa.Table) -> pa.Table:
+        # ONLY stamp schemaless empty blocks (sort under map_groups emits
+        # them without calling the UDF); non-empty blocks keep merge_asof's
+        # own dtypes — unmatched rows float-promote right columns, and a
+        # blanket cast back to int would fail on those NaNs
+        if t.num_rows == 0:
+            return target.empty_table()
+        return t
+
+    return (
+        both.groupby("_b")
+        .map_groups(join_bucket, batch_format="pandas")
+        .map_batches(recast, batch_format="pyarrow")
+    )
 
 
 def range_join_broadcast(ds, intervals: pd.DataFrame, on: str, lo_col: str, hi_col: str, tag_cols: list[str]):
@@ -209,7 +230,11 @@ def hash_join(
 
     def recast(t: pa.Table) -> pa.Table:
         # the union's null padding floats int columns through pandas;
-        # restore the sides' true Arrow types
+        # restore the sides' true Arrow types.  The sort under map_groups
+        # can emit schemaless EMPTY blocks (UDF never called) — stamp them
+        # with the declared schema so downstream ops see one stable schema.
+        if t.num_rows == 0:
+            return target.empty_table()
         return t.select(out_cols).cast(target)
 
     return (
