@@ -18,7 +18,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pick_num_buckets", "bucketed_map_groups", "group_bounds", "hash_normalized"]
+__all__ = [
+    "pick_num_buckets",
+    "bucketed_map_groups",
+    "group_bounds",
+    "group_bounds_multi",
+    "col_np",
+    "hash_normalized",
+]
 
 _BUCKET_COL = "__bucket"
 
@@ -88,12 +95,22 @@ def pick_num_buckets(ds, num_buckets: int | None, target_bytes: int = 512 << 20)
     return max(32, int(sz // target_bytes) + 1)
 
 
-def bucketed_map_groups(ds, key_cols, fn, num_buckets: int | None = None, out_schema: pa.Schema | None = None):
+def bucketed_map_groups(
+    ds,
+    key_cols,
+    fn,
+    num_buckets: int | None = None,
+    out_schema: pa.Schema | None = None,
+    batch_format: str = "pandas",
+):
     """Shuffle by hash(key_cols) % P, then apply ``fn`` per bucket.
 
-    ``fn`` receives a pandas DataFrame holding every row of every key-group
-    hashed into the bucket (bucket column removed) and returns a DataFrame
-    or pyarrow Table.
+    ``fn`` receives every row of every key-group hashed into the bucket
+    (bucket column removed) — a pandas DataFrame by default, a pyarrow
+    Table with ``batch_format="pyarrow"`` (the fast path: bucket fns that
+    work on numpy arrays skip the full Arrow→pandas conversion of the
+    bucket, which otherwise copies every string column).  Returns a
+    DataFrame or pyarrow Table either way.
 
     ``out_schema``: the output's Arrow schema, when the caller knows it.
     The sort exchange under ``map_groups`` can emit EMPTY blocks (a key
@@ -114,13 +131,15 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int | None = None, out_sc
             h = h * np.uint64(1000003) ^ hc
         return t.append_column(_BUCKET_COL, pa.array((h % nb).astype(np.int32)))
 
+    if batch_format == "pyarrow":
+        apply = lambda g: fn(g.drop_columns([_BUCKET_COL]))  # noqa: E731
+    else:
+        apply = lambda g: fn(g.drop(columns=[_BUCKET_COL]))  # noqa: E731
+
     out = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby(_BUCKET_COL)
-        .map_groups(
-            lambda g: fn(g.drop(columns=[_BUCKET_COL])),
-            batch_format="pandas",
-        )
+        .map_groups(apply, batch_format=batch_format)
     )
     if out_schema is not None:
         empty = out_schema.empty_table()
@@ -143,3 +162,23 @@ def group_bounds(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [n]])
     return starts, ends
+
+
+def group_bounds_multi(*sorted_cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-TUPLE runs across co-sorted key arrays
+    (the composite-key analogue of :func:`group_bounds`)."""
+    n = len(sorted_cols[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for c in sorted_cols:
+        change |= c[1:] != c[:-1]
+    idx = np.flatnonzero(change) + 1
+    starts = np.concatenate([[0], idx])
+    ends = np.concatenate([idx, [n]])
+    return starts, ends
+
+
+def col_np(t: pa.Table, name: str) -> np.ndarray:
+    """Arrow column → numpy (chunk-safe; zero-copy for flat numerics)."""
+    return t[name].combine_chunks().to_numpy(zero_copy_only=False)

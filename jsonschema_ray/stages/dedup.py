@@ -206,23 +206,22 @@ def jaccard_pairs_exact(
     very many docs (skew guard for production); leave ``None`` for exact
     all-pairs semantics (the SQL oracle has no cap)."""
 
-    from .bucketing import bucketed_map_groups, group_bounds
-
-    _PAIRS_EMPTY = pd.DataFrame({"a": [], "b": [], "na": [], "nb": []}).astype(
-        {"a": np.int64, "b": np.int64, "na": np.int64, "nb": np.int64}
+    from .bucketing import (
+        bucketed_map_groups,
+        col_np,
+        group_bounds,
+        group_bounds_multi,
     )
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # Every doc-pair co-occurring on any shingle hashed into this bucket.
-        # Singleton shingles (the vast majority) drop before the loop; the
-        # remaining loop touches numpy slices only, never pandas frames.
-        df = df[df.duplicated("shingle", keep=False)]
-        if df.empty:
-            return _PAIRS_EMPTY
-        df = df.sort_values(["shingle", "doc_id"], kind="stable")
-        sh_arr = df["shingle"].to_numpy()
-        ids = df["doc_id"].to_numpy()
-        nsh = df["n_sh"].to_numpy()
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        # Every doc-pair co-occurring on any shingle hashed into this
+        # bucket — Arrow in, numpy throughout, no pandas frame of the
+        # bucket is ever built.
+        sh_arr = col_np(t, "shingle")
+        ids = col_np(t, "doc_id")
+        nsh = col_np(t, "n_sh")
+        order = np.lexsort((ids, sh_arr))
+        sh_arr, ids, nsh = sh_arr[order], ids[order], nsh[order]
         starts, ends = group_bounds(sh_arr)
         out_a, out_b, out_na, out_nb = [], [], [], []
         for s, e in zip(starts, ends):
@@ -235,40 +234,50 @@ def jaccard_pairs_exact(
             out_na.append(nsh[s:e][ai])
             out_nb.append(nsh[s:e][bi])
         if not out_a:
-            return _PAIRS_EMPTY
-        return pd.DataFrame(
+            return _SCH_PAIRS_RAW.empty_table()
+        return pa.table(
             {
-                "a": np.concatenate(out_a),
-                "b": np.concatenate(out_b),
-                "na": np.concatenate(out_na),
-                "nb": np.concatenate(out_nb),
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "na": pa.array(np.concatenate(out_na)),
+                "nb": pa.array(np.concatenate(out_nb)),
             }
         )
 
-    def jaccard_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def jaccard_in_bucket(t: pa.Table) -> pa.Table:
         # intersection size = number of shared shingles = rows per (a, b)
-        g = (
-            df.groupby(["a", "b"], sort=False)
-            .agg(inter=("na", "size"), na=("na", "first"), nb=("nb", "first"))
-            .reset_index()
-        )
-        jac = g["inter"] / (g["na"] + g["nb"] - g["inter"])
-        g = g[jac >= threshold]
-        if g.empty:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
-                {"a": np.int64, "b": np.int64, "jaccard": np.float64}
-            )
-        return pd.DataFrame(
+        a = col_np(t, "a")
+        b = col_np(t, "b")
+        na = col_np(t, "na")
+        nb = col_np(t, "nb")
+        order = np.lexsort((b, a))
+        a, b, na, nb = a[order], b[order], na[order], nb[order]
+        starts, ends = group_bounds_multi(a, b)
+        inter = (ends - starts).astype(np.float64)
+        na0 = na[starts].astype(np.float64)
+        nb0 = nb[starts].astype(np.float64)
+        jac = inter / (na0 + nb0 - inter)
+        keep = jac >= threshold
+        if not keep.any():
+            return _SCH_PAIRS_J.empty_table()
+        s = starts[keep]
+        return pa.table(
             {
-                "a": g["a"].to_numpy(np.int64),
-                "b": g["b"].to_numpy(np.int64),
-                "jaccard": jac[g.index].round(6).to_numpy(),
+                "a": pa.array(a[s].astype(np.int64)),
+                "b": pa.array(b[s].astype(np.int64)),
+                "jaccard": pa.array(np.round(jac[keep], 6)),
             }
         )
 
     sh = shingle_rows(ds, text_col, id_col, n)
-    cand = bucketed_map_groups(sh, ["shingle"], pairs_in_bucket, out_schema=_SCH_PAIRS_RAW)
-    return bucketed_map_groups(cand, ["a", "b"], jaccard_in_bucket, out_schema=_SCH_PAIRS_J)
+    cand = bucketed_map_groups(
+        sh, ["shingle"], pairs_in_bucket,
+        out_schema=_SCH_PAIRS_RAW, batch_format="pyarrow",
+    )
+    return bucketed_map_groups(
+        cand, ["a", "b"], jaccard_in_bucket,
+        out_schema=_SCH_PAIRS_J, batch_format="pyarrow",
+    )
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -416,26 +425,35 @@ def minhash_lsh_pairs(
             }
         )
 
-    from .bucketing import bucketed_map_groups, group_bounds
-
-    _CAND_EMPTY = pd.DataFrame({"a": [], "b": [], "_nb": []}).astype(
-        {"a": np.int64, "b": np.int64, "_nb": np.int64}
+    from .bucketing import (
+        bucketed_map_groups,
+        col_np,
+        group_bounds,
+        group_bounds_multi,
     )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def _group_count_pairs(a: np.ndarray, b: np.ndarray):
+        """(a, b, count) per distinct pair — lexsort + run-length, no pandas."""
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        starts, ends = group_bounds_multi(a, b)
+        return a[starts], b[starts], (ends - starts).astype(np.int64)
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
         # Pairs sharing an LSH band bucket, vectorized across all (band,
         # bhash) groups hashed into this shuffle bucket.  Emits the number
         # of band-collisions seen locally (``_nb``) so the pair-keyed
         # exchange can enforce ``min_band_matches`` globally.
-        df = df.drop_duplicates(["band", "bhash", "doc_id"])
-        df = df[df.duplicated(["band", "bhash"], keep=False)]
-        if df.empty:
-            return _CAND_EMPTY
-        df = df.sort_values(["band", "bhash", "doc_id"], kind="stable")
         key = (
-            df["band"].to_numpy(np.uint64) << np.uint64(48)
-        ) ^ df["bhash"].to_numpy().astype(np.uint64)
-        ids = df["doc_id"].to_numpy()
+            col_np(t, "band").astype(np.uint64) << np.uint64(48)
+        ) ^ col_np(t, "bhash").astype(np.uint64)
+        ids = col_np(t, "doc_id")
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        # drop duplicate (band, bhash, doc_id) rows: adjacent after the sort
+        dup = np.zeros(len(key), dtype=bool)
+        dup[1:] = (key[1:] == key[:-1]) & (ids[1:] == ids[:-1])
+        key, ids = key[~dup], ids[~dup]
         starts, ends = group_bounds(key)
         out_a, out_b = [], []
         chain_a, chain_b = [], []
@@ -453,32 +471,38 @@ def minhash_lsh_pairs(
             out_a.append(ids[s:e][ai])
             out_b.append(ids[s:e][bi])
         if not out_a and not chain_a:
-            return _CAND_EMPTY
-        parts = []
+            return _SCH_PAIRS_NB.empty_table()
+        parts_a, parts_b, parts_n = [], [], []
         if out_a:
-            g = (
-                pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
-                .groupby(["a", "b"], sort=False)
-                .size()
-                .reset_index(name="_nb")
+            ga, gb, gn = _group_count_pairs(
+                np.concatenate(out_a), np.concatenate(out_b)
             )
-            parts.append(g)
+            parts_a.append(ga)
+            parts_b.append(gb)
+            parts_n.append(gn)
         if chain_a:
             # a giant full-band agreement is already high-confidence:
             # _nb = bands makes chain edges pass any min_band_matches
-            c = pd.DataFrame(
-                {"a": np.concatenate(chain_a), "b": np.concatenate(chain_b)}
-            ).drop_duplicates()
-            c["_nb"] = np.int64(bands)
-            parts.append(c)
-        g = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        return g.astype({"a": np.int64, "b": np.int64, "_nb": np.int64})
+            ca, cb, _ = _group_count_pairs(
+                np.concatenate(chain_a), np.concatenate(chain_b)
+            )
+            parts_a.append(ca)
+            parts_b.append(cb)
+            parts_n.append(np.full(len(ca), bands, dtype=np.int64))
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(parts_a).astype(np.int64)),
+                "b": pa.array(np.concatenate(parts_b).astype(np.int64)),
+                "_nb": pa.array(np.concatenate(parts_n)),
+            }
+        )
 
     cand = bucketed_map_groups(
         sigs.map_batches(band_rows, batch_format="pyarrow"),
         ["bhash"],
         bucket_pairs,
         out_schema=_SCH_PAIRS_NB,
+        batch_format="pyarrow",
     )
 
     # Verify with exact Jaccard, fully distributed — candidates and doc
@@ -494,20 +518,29 @@ def minhash_lsh_pairs(
     #     from both sides, the same counting kernel jaccard_pairs_exact uses.
     from .joins import hash_join
 
-    _PAIR_EMPTY = pd.DataFrame({"a": [], "b": []}).astype(
-        {"a": np.int64, "b": np.int64}
-    )
-
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["a", "b"], sort=False)["_nb"].sum().reset_index()
-        g = g[g["_nb"] >= min_band_matches]
-        if g.empty:
-            return _PAIR_EMPTY
-        return pd.DataFrame(
-            {"a": g["a"].to_numpy(np.int64), "b": g["b"].to_numpy(np.int64)}
+    def dedup_pairs(t: pa.Table) -> pa.Table:
+        a = col_np(t, "a")
+        b = col_np(t, "b")
+        nbm = col_np(t, "_nb")
+        order = np.lexsort((b, a))
+        a, b, nbm = a[order], b[order], nbm[order]
+        starts, ends = group_bounds_multi(a, b)
+        tot = np.add.reduceat(nbm, starts)
+        keep = tot >= min_band_matches
+        if not keep.any():
+            return _SCH_PAIRS.empty_table()
+        s = starts[keep]
+        return pa.table(
+            {
+                "a": pa.array(a[s].astype(np.int64)),
+                "b": pa.array(b[s].astype(np.int64)),
+            }
         )
 
-    cand = bucketed_map_groups(cand, ["a", "b"], dedup_pairs, out_schema=_SCH_PAIRS)
+    cand = bucketed_map_groups(
+        cand, ["a", "b"], dedup_pairs,
+        out_schema=_SCH_PAIRS, batch_format="pyarrow",
+    )
     if not verify:
         return cand
 
@@ -533,50 +566,50 @@ def minhash_lsh_pairs(
         how="inner",
     )
 
-    _VERIFY_EMPTY = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
-        {"a": np.int64, "b": np.int64, "jaccard": np.float64}
-    )
-
-    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return _VERIFY_EMPTY
-        # shared shingles appear exactly twice per pair (once per side)
-        shared = df[df.duplicated(["a", "b", "shingle"], keep=False)]
-        inter = (
-            shared.drop_duplicates(["a", "b", "shingle"])
-            .groupby(["a", "b"], sort=False)
-            .size()
-            .rename("inter")
-        )
-        if inter.empty:
-            return _VERIFY_EMPTY
-        na = (
-            df[df["doc_id"] == df["a"]]
-            .drop_duplicates(["a", "b"])
-            .set_index(["a", "b"])["n_sh"]
-            .rename("na")
-        )
-        nb = (
-            df[df["doc_id"] == df["b"]]
-            .drop_duplicates(["a", "b"])
-            .set_index(["a", "b"])["n_sh"]
-            .rename("nb")
-        )
-        g = pd.DataFrame(inter).join(na).join(nb)
-        jac = g["inter"] / (g["na"] + g["nb"] - g["inter"])
-        keep = jac >= threshold  # NaN (an empty-text side) drops here
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        # Exact Jaccard per pair without any per-pair loop: rows are
+        # (doc_id, a, b, shingle, n_sh) — both sides' deduped shingle sets.
+        # After a (a, b, shingle) lexsort a shared shingle sits in two
+        # ADJACENT rows, so the per-pair intersection size is one
+        # ``add.reduceat`` over the adjacent-equality mask; each side's set
+        # size is a ``maximum.reduceat`` over the side-masked n_sh.
+        if t.num_rows == 0:
+            return _SCH_PAIRS_J.empty_table()
+        a = col_np(t, "a")
+        b = col_np(t, "b")
+        doc = col_np(t, "doc_id")
+        sh = col_np(t, "shingle")
+        nsh = col_np(t, "n_sh")
+        order = np.lexsort((sh, b, a))
+        a, b, doc, sh, nsh = a[order], b[order], doc[order], sh[order], nsh[order]
+        starts, ends = group_bounds_multi(a, b)
+        n = len(a)
+        eq = np.zeros(n, dtype=np.int64)
+        eq[: n - 1] = (
+            (sh[1:] == sh[:-1]) & (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+        ).astype(np.int64)
+        inter = np.add.reduceat(eq, starts).astype(np.float64)
+        na = np.maximum.reduceat(np.where(doc == a, nsh, -1), starts).astype(np.float64)
+        nb = np.maximum.reduceat(np.where(doc == b, nsh, -1), starts).astype(np.float64)
+        both_sides = (na > 0) & (nb > 0)  # an empty-text side drops here
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(both_sides, inter / (na + nb - inter), -1.0)
+        keep = jac >= threshold
         if not keep.any():
-            return _VERIFY_EMPTY
-        out = g[keep].reset_index()
-        return pd.DataFrame(
+            return _SCH_PAIRS_J.empty_table()
+        s = starts[keep]
+        return pa.table(
             {
-                "a": out["a"].to_numpy(np.int64),
-                "b": out["b"].to_numpy(np.int64),
-                "jaccard": jac[keep].round(6).to_numpy(),
+                "a": pa.array(a[s].astype(np.int64)),
+                "b": pa.array(b[s].astype(np.int64)),
+                "jaccard": pa.array(np.round(jac[keep], 6)),
             }
         )
 
-    return bucketed_map_groups(joined, ["a", "b"], verify_bucket, out_schema=_SCH_PAIRS_J)
+    return bucketed_map_groups(
+        joined, ["a", "b"], verify_bucket,
+        out_schema=_SCH_PAIRS_J, batch_format="pyarrow",
+    )
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -653,7 +686,12 @@ def simhash_pairs(
     Candidates verify with an exact popcount of the XOR; cross-quarter
     duplicate pairs collapse in a final pair-keyed exchange.
     """
-    from .bucketing import bucketed_map_groups, group_bounds
+    from .bucketing import (
+        bucketed_map_groups,
+        col_np,
+        group_bounds,
+        group_bounds_multi,
+    )
 
     sigs = simhash64(ds, text_col=text_col, id_col=id_col)
 
@@ -674,19 +712,16 @@ def simhash_pairs(
             }
         )
 
-    _EMPTY = pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-        {"a": np.int64, "b": np.int64, "hamming": np.int64}
-    )
-
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["skey", "doc_id"])
-        df = df[df.duplicated("skey", keep=False)]
-        if df.empty:
-            return _EMPTY
-        df = df.sort_values(["skey", "doc_id"], kind="stable")
-        keys = df["skey"].to_numpy()
-        ids = df["doc_id"].to_numpy()
-        sh = df["simhash"].to_numpy().astype(np.uint64)
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        keys = col_np(t, "skey")
+        ids = col_np(t, "doc_id")
+        sh = col_np(t, "simhash").astype(np.uint64)
+        order = np.lexsort((ids, keys))
+        keys, ids, sh = keys[order], ids[order], sh[order]
+        # drop duplicate (skey, doc_id) rows: adjacent after the sort
+        dup = np.zeros(len(keys), dtype=bool)
+        dup[1:] = (keys[1:] == keys[:-1]) & (ids[1:] == ids[:-1])
+        keys, ids, sh = keys[~dup], ids[~dup], sh[~dup]
         starts, ends = group_bounds(keys)
         out_a, out_b, out_h = [], [], []
         for s, e in zip(starts, ends):
@@ -705,12 +740,27 @@ def simhash_pairs(
             out_b.append(ids[s:e][bi[keep]])
             out_h.append(ham[keep])
         if not out_a:
-            return _EMPTY
-        return pd.DataFrame(
+            return _SCH_PAIRS_HAM.empty_table()
+        return pa.table(
             {
-                "a": np.concatenate(out_a),
-                "b": np.concatenate(out_b),
-                "hamming": np.concatenate(out_h),
+                "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                "hamming": pa.array(np.concatenate(out_h).astype(np.int64)),
+            }
+        )
+
+    def dedup_cross_quarter(t: pa.Table) -> pa.Table:
+        a = col_np(t, "a")
+        b = col_np(t, "b")
+        h = col_np(t, "hamming")
+        order = np.lexsort((b, a))
+        a, b, h = a[order], b[order], h[order]
+        starts, _ends = group_bounds_multi(a, b)
+        return pa.table(
+            {
+                "a": pa.array(a[starts].astype(np.int64)),
+                "b": pa.array(b[starts].astype(np.int64)),
+                "hamming": pa.array(h[starts].astype(np.int64)),
             }
         )
 
@@ -719,12 +769,14 @@ def simhash_pairs(
         ["skey"],
         pairs_in_bucket,
         out_schema=_SCH_PAIRS_HAM,
+        batch_format="pyarrow",
     )
     return bucketed_map_groups(
         cand,
         ["a", "b"],
-        lambda df: df.drop_duplicates(["a", "b"]),
+        dedup_cross_quarter,
         out_schema=_SCH_PAIRS_HAM,
+        batch_format="pyarrow",
     )
 
 
@@ -813,49 +865,71 @@ def embedding_dup_pairs(
             t2 = t.select([id_col, vec_col]).take(pa.array(rep))
             return t2.append_column("code", pa.array(codes.reshape(-1)))
 
-        from .bucketing import bucketed_map_groups, group_bounds
+        from .bucketing import (
+            bucketed_map_groups,
+            col_np,
+            group_bounds,
+            group_bounds_multi,
+        )
 
-        def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
-                {"a": np.int64, "b": np.int64, "sim": np.float64}
-            )
-            df = df[df.duplicated("code", keep=False)]
-            if df.empty:
-                return empty
-            df = df.sort_values(["code", id_col], kind="stable")
-            codes = df["code"].to_numpy()
-            ids = df[id_col].to_numpy()
-            mat = _normalize(np.vstack(df[vec_col].to_numpy()).astype(np.float64))
+        def pairs_in_bucket(t: pa.Table) -> pa.Table:
+            # Arrow in: the vector column stays a flat float buffer
+            # (_batch_matrix reshape) instead of a pandas object array
+            # of per-row lists.
+            codes = col_np(t, "code")
+            ids = col_np(t, id_col)
+            order = np.lexsort((ids, codes))
+            codes, ids = codes[order], ids[order]
+            mat = _normalize(_batch_matrix(t, vec_col)[order])
             starts, ends = group_bounds(codes)
-            out = []
+            out_a, out_b, out_s = [], [], []
             for s, e in zip(starts, ends):
                 if e - s < 2:
                     continue
                 sims = mat[s:e] @ mat[s:e].T
                 ai, bi = np.triu_indices(e - s, k=1)
                 keep = sims[ai, bi] >= threshold
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "a": ids[s:e][ai[keep]],
-                            "b": ids[s:e][bi[keep]],
-                            "sim": np.round(sims[ai, bi][keep], 6),
-                        }
-                    )
-                )
-            return pd.concat(out, ignore_index=True) if out else empty
+                out_a.append(ids[s:e][ai[keep]])
+                out_b.append(ids[s:e][bi[keep]])
+                out_s.append(np.round(sims[ai, bi][keep], 6))
+            if not out_a:
+                return _SCH_PAIRS_SIM.empty_table()
+            return pa.table(
+                {
+                    "a": pa.array(np.concatenate(out_a).astype(np.int64)),
+                    "b": pa.array(np.concatenate(out_b).astype(np.int64)),
+                    "sim": pa.array(np.concatenate(out_s)),
+                }
+            )
+
+        def dedup_cross_table(t: pa.Table) -> pa.Table:
+            a = col_np(t, "a")
+            b = col_np(t, "b")
+            sim = col_np(t, "sim")
+            order = np.lexsort((b, a))
+            a, b, sim = a[order], b[order], sim[order]
+            starts, _ends = group_bounds_multi(a, b)
+            return pa.table(
+                {
+                    "a": pa.array(a[starts].astype(np.int64)),
+                    "b": pa.array(b[starts].astype(np.int64)),
+                    "sim": pa.array(sim[starts]),
+                }
+            )
 
         coded = ds.select_columns([id_col, vec_col]).map_batches(
             add_code, batch_format="pyarrow"
         )
         pairs = bucketed_map_groups(
-            coded, ["code"], pairs_in_bucket, out_schema=_SCH_PAIRS_SIM
+            coded, ["code"], pairs_in_bucket,
+            out_schema=_SCH_PAIRS_SIM, batch_format="pyarrow",
         )
         return bucketed_map_groups(
             pairs,
             ["a", "b"],
-            lambda df: df.drop_duplicates(["a", "b"]),
+            dedup_cross_table,
             out_schema=_SCH_PAIRS_SIM,
+            batch_format="pyarrow",
         )
 
     # exact: broadcast the full normalized matrix, one matmul per batch.

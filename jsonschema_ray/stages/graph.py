@@ -111,22 +111,35 @@ def connected_components(
 
         return rd.from_arrow(_driver_union_find(edges.to_pandas()))
 
-    def init_labels(df: pd.DataFrame) -> pa.Table:
+    def init_labels(t: pa.Table) -> pa.Table:
         # arrow blocks: these datasets feed unions with arrow-producing
         # stages, and mixed pandas/arrow bundles stall the sort exchange
-        u = np.unique(df["src"].to_numpy())
+        u = np.unique(t["src"].combine_chunks().to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(u), "component": pa.array(u)})
 
     labels = bucketed_map_groups(
-        edges, ["src"], init_labels, out_schema=_SCH_LABELS
+        edges, ["src"], init_labels, out_schema=_SCH_LABELS, batch_format="pyarrow"
     ).materialize()
     prev_sum = labels.sum("component")
     if prev_sum is None:  # no edges at all
         return labels
 
-    def min_label(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("node", sort=False)["component"].min().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    from .bucketing import col_np, group_bounds
+
+    def min_label(t: pa.Table) -> pa.Table:
+        node = col_np(t, "node")
+        comp = col_np(t, "component")
+        order = np.argsort(node, kind="stable")
+        node_s, comp_s = node[order], comp[order]
+        starts, _ends = group_bounds(node_s)
+        return pa.table(
+            {
+                "node": pa.array(node_s[starts].astype(np.int64)),
+                "component": pa.array(
+                    np.minimum.reduceat(comp_s, starts).astype(np.int64)
+                ),
+            }
+        )
 
     # block count scales with the cluster (2 blocks/core keeps every core
     # busy through stragglers), not a hardcoded single-node constant
@@ -158,7 +171,8 @@ def connected_components(
         # block count until the executor crawls
         merged = (
             bucketed_map_groups(
-                labels.union(neigh), ["node"], min_label, out_schema=_SCH_LABELS
+                labels.union(neigh), ["node"], min_label,
+                out_schema=_SCH_LABELS, batch_format="pyarrow",
             )
             .repartition(nparts)
             .materialize()
