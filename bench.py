@@ -176,12 +176,40 @@ def big() -> None:
 
     timings = {}
 
-    def headline():
+    from jsonschema_ray.pipelines.validate_pipeline import (
+        transcript_violations_fused,
+    )
+
+    def headline():  # fused single-scan (the default route)
         return transcript_violations(rd.read_parquet(path)).count()
 
     headline()
     sec, n_viol = _timed(headline)
     timings["validate_full"] = round(sec, 3)
+
+    # single-scan fusion A/B: same checks; the two-scan plan reads the
+    # input twice.  Planted data is violation-DENSE (~50%), the
+    # fusion-unfavorable case; the clean variant is the sparse real-corpus
+    # regime.  Fusion won both (see BASELINE.md), so it is the default.
+    sec_2s, _ = _timed(
+        lambda: transcript_violations(rd.read_parquet(path), fused=False).count()
+    )
+    timings["validate_full_twoscan"] = round(sec_2s, 3)
+
+    path_clean = generate_transcripts(
+        f"/tmp/graft_transcripts/big-clean-{n_turns}",
+        n_turns=n_turns,
+        seed=42,
+        variant="clean",
+    )
+    sec_cf, _ = _timed(
+        lambda: transcript_violations_fused(rd.read_parquet(path_clean)).count()
+    )
+    timings["validate_clean_fused"] = round(sec_cf, 3)
+    sec_c, _ = _timed(
+        lambda: transcript_violations(rd.read_parquet(path_clean), fused=False).count()
+    )
+    timings["validate_clean_twoscan"] = round(sec_c, 3)
 
     s2, _ = _timed(lambda: conv_checks_violations(rd.read_parquet(path)).count())
     timings["conv_checks_bucket"] = round(s2, 3)

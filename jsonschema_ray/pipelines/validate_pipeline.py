@@ -33,7 +33,12 @@ from ..stages.checks import (
 )
 from ..stages.validate import VectorValidator
 
-__all__ = ["transcript_violations", "validate_transcripts", "quarantine_split"]
+__all__ = [
+    "transcript_violations",
+    "transcript_violations_fused",
+    "validate_transcripts",
+    "quarantine_split",
+]
 
 TRANSCRIPT_ARROW_SCHEMA = pa.schema(
     [
@@ -57,8 +62,25 @@ def transcript_violations(
     concurrency: int | None = None,
     batch_size: int = 65536,
     conv_strategy: str = "bucket",
+    fused: bool | None = None,
 ):
-    """→ Dataset of violation rows, sorted by (conv_id, turn_idx)."""
+    """→ Dataset of violation rows, sorted by (conv_id, turn_idx).
+
+    ``fused=None`` (default) auto-routes the full-check bucket-strategy
+    configuration to :func:`transcript_violations_fused` — one input scan
+    instead of two, measured 2-3.3× faster at the compute-bound scale
+    (BASELINE.md, single-scan fusion A/B).  ``fused=False`` forces the
+    two-scan plan (the A/B baseline)."""
+    if fused is None:
+        fused = (
+            tuple(checks) == ALL_CHECKS
+            and conv_strategy == "bucket"
+            and concurrency is None
+        )
+    if fused and tuple(checks) == ALL_CHECKS and conv_strategy == "bucket":
+        return transcript_violations_fused(
+            ds, schema_json=schema_json, mode=mode, batch_size=batch_size
+        )
     parts = []
     fold_referential = "rows" in checks and "referential" in checks
     if "rows" in checks:
@@ -177,6 +199,165 @@ def transcript_violations(
     out = parts[0]
     if len(parts) > 1:
         out = out.union(*parts[1:])
+    return out.sort(["conv_id", "turn_idx", "keyword"])
+
+
+def transcript_violations_fused(
+    ds,
+    schema_json: str = TRANSCRIPT_SCHEMA_JSON,
+    mode: str = "first",
+    batch_size: int = 65536,
+    num_buckets: int | None = None,
+):
+    """Single-scan twin of :func:`transcript_violations` (full check set,
+    bucket strategy): the default plan's row branch and conv-check branch
+    are two consumers of ``ds``, so the input parquet is READ TWICE.  Here
+    the validator's batch pass emits BOTH the row/referential violations
+    AND the conversation-check key rows (conv_id, turn_idx, ts) as one
+    tagged stream; a single conv_id-hashed exchange then separates the
+    tags, runs uniqueness/contiguity/ts-order on the key rows, and passes
+    violation rows through untouched.  The input is scanned exactly once.
+
+    Trade: violation rows ride the conv exchange (4 extra small columns
+    per violation) in exchange for one less full input scan — wins when
+    violations are sparse relative to input rows (real corpora), loses
+    when they are dense (the planted test data).  Measured A/B lives in
+    BASELINE.md; output is row-for-row identical to the default plan
+    (tests/test_round3.py::test_fused_equals_default)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (bucket hash)
+    import ray.data as rd
+
+    from ..core import parse as _parse
+    from ..stages.checks import (
+        EMPTY_VIOLATIONS,
+        VIOLATION_PA_SCHEMA,
+        _run_bucket,
+    )
+    from ..stages.bucketing import pick_num_buckets
+    from ..stages.validate import validate_rows_batch
+    from ..vector.plan import UnsupportedPlanError, compile_plan
+
+    try:
+        sch = ds.schema()
+        arrow_schema = pa.schema(list(zip(sch.names, sch.types)))
+    except Exception:
+        arrow_schema = TRANSCRIPT_ARROW_SCHEMA
+    try:
+        plan = compile_plan(_parse(schema_json), arrow_schema)
+    except UnsupportedPlanError:
+        plan = None
+    if plan is None:
+        # non-vectorizable schema → the two-scan plan's exact fallback
+        return transcript_violations(
+            ds, schema_json=schema_json, mode=mode, fused=False
+        )
+
+    statics = None
+    if plan.static_violations:
+        rows = [
+            {
+                "conv_id": "",
+                "turn_idx": -1,
+                "keyword": kw,
+                "message": msg,
+            }
+            for _col, kw, msg in plan.static_violations
+        ]
+        statics = rd.from_arrow(pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA))
+
+    def fused_batch(batch: pa.Table) -> pa.Table:
+        viol = validate_rows_batch(
+            batch,
+            schema_json=schema_json,
+            arrow_schema=arrow_schema,
+            mode=mode,
+            with_referential=True,
+        )
+        nv = viol.num_rows
+        n = batch.num_rows
+        viol_t = pa.table(
+            {
+                "conv_id": viol["conv_id"].cast(pa.string()),
+                "turn_idx": viol["turn_idx"].cast(pa.int32()),
+                "keyword": viol["keyword"],
+                "message": viol["message"],
+                "ts": pa.nulls(nv, pa.timestamp("us")),
+                "_tag": pa.array(np.full(nv, 1, dtype=np.int8)),
+            }
+        )
+        conv_t = pa.table(
+            {
+                "conv_id": batch["conv_id"].cast(pa.string()),
+                "turn_idx": batch["turn_idx"].cast(pa.int32()),
+                "keyword": pa.nulls(n, pa.string()),
+                "message": pa.nulls(n, pa.string()),
+                "ts": batch["ts"].cast(pa.timestamp("us")),
+                "_tag": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+        return pa.concat_tables([viol_t, conv_t])
+
+    nb = pick_num_buckets(ds, num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (pd.util.hash_array(conv.astype(object)) % nb).astype(np.int32)
+        return t.append_column("_b", pa.array(b, pa.int32()))
+
+    def run_fused_bucket(df) -> pa.Table:
+        tag = df["_tag"].to_numpy()
+        parts = []
+        viol = df[tag == 1]
+        if len(viol):
+            parts.append(
+                pa.table(
+                    {
+                        "conv_id": pa.array(viol["conv_id"], pa.string()),
+                        "turn_idx": pa.array(
+                            viol["turn_idx"].to_numpy(), pa.int32()
+                        ),
+                        "keyword": pa.array(viol["keyword"], pa.string()),
+                        "message": pa.array(viol["message"], pa.string()),
+                    }
+                )
+            )
+        conv = df[tag == 0]
+        if len(conv):
+            cc = _run_bucket(
+                conv[["conv_id", "turn_idx", "ts"]],
+                ("unique", "contiguity", "order"),
+            )
+            if cc.num_rows:
+                parts.append(cc)
+        if not parts:
+            return EMPTY_VIOLATIONS
+        return pa.concat_tables(parts)
+
+    empty = VIOLATION_PA_SCHEMA.empty_table()
+
+    def stamp(t: pa.Table) -> pa.Table:
+        # empty sort partitions pass through schemaless (UDF never called)
+        if t.num_rows == 0:
+            return empty
+        return (
+            t
+            if t.schema == VIOLATION_PA_SCHEMA
+            else t.select(VIOLATION_PA_SCHEMA.names).cast(VIOLATION_PA_SCHEMA)
+        )
+
+    out = (
+        ds.map_batches(fused_batch, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: run_fused_bucket(g.drop(columns=["_b"])),
+            batch_format="pandas",
+        )
+        .map_batches(stamp, batch_format="pyarrow")
+    )
+    if statics is not None:
+        out = out.union(statics)
     return out.sort(["conv_id", "turn_idx", "keyword"])
 
 

@@ -176,3 +176,59 @@ def test_cli_curate_refuses_dirty_out(tmp_path):
     (out / "stale.parquet").write_bytes(b"junk")
     rc = main(["curate", "--input", str(src), "--out", str(out)])
     assert rc == 2
+
+
+def test_fused_equals_default_headline():
+    """transcript_violations_fused (single input scan, violations ride the
+    conv exchange) must produce row-for-row identical output to the
+    default two-scan plan."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import (
+        transcript_violations,
+        transcript_violations_fused,
+    )
+    from jsonschema_ray.sources.transcripts import transcripts_path
+
+    path = transcripts_path(SF01)
+    a = transcript_violations(rd.read_parquet(path)).to_pandas()
+    b = transcript_violations_fused(rd.read_parquet(path)).to_pandas()
+    cols = list(a.columns)
+    aa = a.sort_values(cols).reset_index(drop=True)
+    bb = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(aa, bb)
+
+
+def test_driver_union_find_matches_bruteforce():
+    """Vectorized min-label union-find == dict-based union-find on random
+    graphs (the r3 rewrite: minimum.reduceat + pointer-jump collapse)."""
+    from jsonschema_ray.stages.graph import _driver_union_find
+
+    def brute(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n = int(rng.integers(2, 500))
+        m = int(rng.integers(1, 1200))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        df = pd.DataFrame(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+        t = _driver_union_find(df).to_pandas()
+        got = dict(zip(t["node"], t["component"]))
+        assert got == brute(list(zip(a.tolist(), b.tolist())))
