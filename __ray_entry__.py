@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": q.q_fingerprints,
         "q_ivf_topk": q.q_ivf_topk,
         "q_conformance": q.q_conformance,
+        # round 3: decontamination, stratified sampling, content screening
+        "q_decontaminate": q.q_decontaminate,
+        "q_stratified_sample": q.q_stratified_sample,
+        "q_content_flags": q.q_content_flags,
         # rows-only (the stub embedder's random projection matrix is not
         # SQL-expressible; pytest holds its oracle)
         "q_embed_dedup": q.q_embed_dedup,
@@ -168,4 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprints": q.FINGERPRINTS_SQL,
         "q_ivf_topk": q.IVF_TOPK_SQL,
         "q_conformance": q.CONFORMANCE_SQL,
+        "q_decontaminate": q.DECONTAM_SQL,
+        "q_stratified_sample": q.STRATIFIED_SAMPLE_SQL,
+        "q_content_flags": q.CONTENT_FLAGS_SQL,
     }

@@ -1949,3 +1949,108 @@ def distinct_pairs_sql(path: str) -> str:
     return f"""
 SELECT DISTINCT role, tool FROM read_parquet('{path}/*.parquet')
 """
+
+
+# -- round 3: decontamination / stratified sampling / content screening ------
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: word-3-gram containment of every
+    training doc against the benchmark subset (doc_id % 37 == 0).  The
+    oracle rebuilds the n-gram sets as strings in DuckDB; the engine
+    counts in hash space (stages/decontam.py), so equal counts check the
+    whole explode/exchange/combine chain."""
+    import ray.data as rd
+
+    from ..stages.decontam import contamination_scores
+
+    def side(keep_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            m = (ids % 37) == 0
+            return t.filter(pa.array(m if keep_bench else ~m))
+
+        return f
+
+    def read():
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    train = read().map_batches(side(False), batch_format="pyarrow")
+    bench = read().map_batches(side(True), batch_format="pyarrow")
+    return contamination_scores(train, bench, n=3, threshold=0.0)
+
+
+DECONTAM_SQL = r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM tok CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS s
+  FROM tok WHERE len(t) BETWEEN 1 AND 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+hits AS (SELECT sh.doc_id, COUNT(*) AS h FROM sh JOIN bsh USING (s)
+         WHERE sh.doc_id % 37 <> 0 GROUP BY sh.doc_id)
+SELECT h.doc_id, CAST(z.n AS BIGINT) AS n_ngrams, CAST(h.h AS BIGINT) AS n_hit,
+       ROUND(CAST(h.h AS DOUBLE) / z.n, 6) AS containment
+FROM hits h JOIN sizes z USING (doc_id)
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Proportional per-type 5% event sample under the deterministic
+    (event_id·K mod 2^64) rank order — exact ceil(frac·n) quota per group,
+    no RNG state (stages/sampling.py stratified_sample)."""
+    import ray.data as rd
+
+    from ..stages.sampling import stratified_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+    return stratified_sample(ds, "event_type", 0.05, "event_id")
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+r AS (SELECT e.event_id, e.event_type, e.ts, e.value, c.n,
+        ROW_NUMBER() OVER (PARTITION BY e.event_type
+          ORDER BY (CAST(e.event_id AS HUGEINT) * 2654435761) % 18446744073709551616,
+                   e.event_id) AS rn
+      FROM events e JOIN c USING (event_type))
+SELECT event_id, event_type, ts, value FROM r WHERE rn <= CEIL(0.05 * n)
+"""
+
+
+def q_content_flags(sf_dir: str):
+    """Regex content screening (the PII/block-list pre-filter): per-doc
+    non-overlapping match counts for a named pattern list + a flagged
+    disjunction.  RE2 on both sides (pyarrow count_substring_regex vs
+    DuckDB regexp_extract_all) so counts agree exactly; the stop-phrase
+    pattern supplies count variance on the synthetic corpus."""
+    import ray.data as rd
+
+    from ..stages.text import PII_PATTERNS, content_flags
+
+    pats = dict(PII_PATTERNS)
+    pats["stop_phrase"] = r"(the|a) [a-z]+"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return content_flags(ds, patterns=pats)
+
+
+CONTENT_FLAGS_SQL = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_digits,
+  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+  CAST(len(regexp_extract_all(text, '(the|a) [a-z]+')) AS BIGINT) AS n_stop_phrase,
+  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+   OR len(regexp_extract_all(text, '[0-9]{6,}')) > 0
+   OR len(regexp_extract_all(text, 'https?://[^\s]+')) > 0
+   OR len(regexp_extract_all(text, '(the|a) [a-z]+')) > 0) AS flagged
+FROM documents
+"""

@@ -17,10 +17,13 @@ and resume boundaries — no RNG state to checkpoint):
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["deterministic_sample", "grouped_head"]
+__all__ = ["deterministic_sample", "grouped_head", "stratified_sample"]
 
 
 def deterministic_sample(ds, id_col: str, modulus: int = 100, keep_below: int = 10):
@@ -53,4 +56,78 @@ def grouped_head(ds, key_cols, order_cols, k: int):
     # local-first-k rows, so pre-pruning is lossless and bounds the
     # exchange at k rows per (group, batch)
     pruned = ds.map_batches(head, batch_format="pandas")
-    return bucketed_map_groups(pruned, keys, head)
+    return bucketed_map_groups(pruned, keys, head, out_schema=_input_schema(ds))
+
+
+def _input_schema(ds) -> pa.Schema | None:
+    """The dataset's Arrow schema for typed-empty stamping (metadata only —
+    fetch_if_missing=False guarantees no plan execution; derived plans
+    without known metadata just skip the stamp)."""
+    try:
+        s = ds.schema(fetch_if_missing=False)
+        if s is None:
+            return None
+        return pa.schema(list(zip(s.names, s.types)))
+    except Exception:
+        return None
+
+
+# Knuth's multiplicative constant: the per-row rank is (id·K) mod 2^64 —
+# a fixed bijection on uint64, so ranking by it is a deterministic
+# pseudo-random order that DuckDB can replicate exactly with HUGEINT
+# arithmetic (no RNG state anywhere).
+_STRAT_K = np.uint64(2654435761)
+
+
+def stratified_sample(ds, group_col: str, frac: float, id_col: str):
+    """Proportional per-group sample: keep ``ceil(frac · n_g)`` rows of
+    every group, chosen as the group's first rows under the deterministic
+    hash order ``(id·K mod 2^64, id)``.
+
+    Two stages, both skew-proof:
+
+    1. exact group sizes via per-batch combiner partials — the collected
+       table is bounded by (#groups × #blocks), tiny for stratification
+       keys (language, event type, source), and the resulting quota map is
+       broadcast in the stage-2 closure;
+    2. per-batch local pruning to each group's quota (lossless: the global
+       first-k of a group is a subset of every batch's local first-k),
+       then one group-keyed exchange takes the exact per-group head.
+
+    Reproducible across reruns, partitionings and resume boundaries, and
+    exactly replicable as a SQL ``ROW_NUMBER() OVER (PARTITION BY g ORDER
+    BY (id·K) % 2^64, id) <= CEIL(frac·n)`` oracle."""
+    from .bucketing import bucketed_map_groups
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        v = t[group_col].combine_chunks()
+        vc = v.value_counts()
+        return pa.table(
+            {
+                group_col: vc.field("values"),
+                "_c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.select_columns([group_col])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(group_col)["_c"]
+        .sum()
+    )
+    quota = {g: int(math.ceil(frac * int(c))) for g, c in counts.items()}
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64).view(np.uint64)
+        rank = ids * _STRAT_K  # uint64 wraparound IS mod 2^64
+        df = df.assign(_rank=rank)
+        df = df.sort_values([group_col, "_rank", id_col], kind="stable")
+        k = df[group_col].map(quota).to_numpy()
+        keep = df.groupby(group_col, sort=False).cumcount().to_numpy() < k
+        return df[keep].drop(columns=["_rank"])
+
+    pruned = ds.map_batches(head, batch_format="pandas")
+    return bucketed_map_groups(
+        pruned, [group_col], head, out_schema=_input_schema(ds)
+    )

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats", "quality_scores", "quality_filter", "LangId", "lang_id", "fingerprints", "STOPWORDS"]
+__all__ = ["token_stats", "quality_scores", "quality_filter", "LangId", "lang_id", "fingerprints", "content_flags", "PII_PATTERNS", "STOPWORDS"]
 
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 
@@ -213,3 +213,41 @@ def fingerprints(ds, text_col="text", id_col="doc_id", window: int = 16):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# Default content-filter patterns: the PII-ish block-list a curation
+# pipeline screens for.  RE2 syntax, ASCII-scoped, so pyarrow's
+# count_substring_regex and DuckDB's regexp_extract_all (both RE2) count
+# the same non-overlapping matches.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "long_digits": r"[0-9]{6,}",
+    "url": r"https?://[^\s]+",
+}
+
+
+def content_flags(ds, patterns=None, text_col="text", id_col="doc_id"):
+    """Rule-based content screening: per-document NON-OVERLAPPING match
+    counts for a named regex block-list (PII, URLs, boilerplate markers),
+    plus a ``flagged`` disjunction — the regex pre-filter stage of a
+    curation pipeline.
+
+    One vectorized ``map_batches`` pass, no shuffle: each pattern is one
+    RE2 ``count_substring_regex`` kernel over the Arrow string column.
+    Counts use RE2 leftmost, non-overlapping semantics in both pyarrow and
+    DuckDB, so an oracle of ``len(regexp_extract_all(text, pat))`` matches
+    exactly."""
+    pats = dict(patterns) if patterns is not None else dict(PII_PATTERNS)
+
+    def scan(t: pa.Table) -> pa.Table:
+        cols: dict = {id_col: t[id_col]}
+        flagged = None
+        for name, pat in pats.items():
+            c = pc.count_substring_regex(t[text_col], pattern=pat).cast(pa.int64())
+            cols[f"n_{name}"] = c
+            hit = pc.greater(c, 0)
+            flagged = hit if flagged is None else pc.or_(flagged, hit)
+        cols["flagged"] = flagged
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)

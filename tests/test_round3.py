@@ -232,3 +232,161 @@ def test_driver_union_find_matches_bruteforce():
         t = _driver_union_find(df).to_pandas()
         got = dict(zip(t["node"], t["component"]))
         assert got == brute(list(zip(a.tolist(), b.tolist())))
+
+
+def test_contamination_scores_matches_bruteforce():
+    """Hash-space n-gram containment == string-space brute force on a
+    tiny corpus with planted benchmark overlap."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.decontam import contamination_scores
+
+    bench_texts = {
+        100: "the quick brown fox jumps over the lazy dog",
+        101: "pack my box with five dozen liquor jugs",
+    }
+    train_texts = {
+        1: "intro words then the quick brown fox jumps over a fence",
+        2: "pack my box with five dozen liquor jugs exactly verbatim",
+        3: "completely unrelated content nothing shared at all here",
+        4: "short doc",  # < n tokens: whole-doc shingle, no bench match
+    }
+
+    def shingles(text, n=3):
+        t = text.split()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bench_sh = set().union(*(shingles(s) for s in bench_texts.values()))
+    expect = {}
+    for d, s in train_texts.items():
+        sh = shingles(s)
+        hit = len(sh & bench_sh)
+        if hit:
+            expect[d] = (len(sh), hit)
+
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(train_texts),
+                "text": list(train_texts.values()),
+            }
+        )
+    )
+    bench = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(bench_texts),
+                "text": list(bench_texts.values()),
+            }
+        )
+    )
+    got = contamination_scores(train, bench, n=3).to_pandas()
+    got_map = {
+        int(r.doc_id): (int(r.n_ngrams), int(r.n_hit))
+        for r in got.itertuples()
+    }
+    assert got_map == expect
+    for r in got.itertuples():
+        assert r.containment == pytest.approx(r.n_hit / r.n_ngrams, abs=1e-6)
+
+
+def test_contamination_threshold_filters():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.decontam import contamination_scores
+
+    train = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "a b c d e f g h i j",  # low overlap (1/8 shingles)
+                    "c q x y z",  # fully contained in the bench doc
+                ],
+            }
+        )
+    )
+    bench = rd.from_arrow(
+        pa.table({"doc_id": [9], "text": ["a b c q x y z"]})
+    )
+    full = contamination_scores(train, bench, n=3).to_pandas()
+    assert set(full.doc_id) == {1, 2}
+    hi = contamination_scores(train, bench, n=3, threshold=0.5).to_pandas()
+    assert set(hi.doc_id) == {2}
+
+
+def test_stratified_sample_quota_and_determinism():
+    """Exact ceil(frac*n) per group; stable across block layouts; subset
+    of the input under the deterministic hash rank."""
+    import math
+
+    import ray.data as rd
+
+    from jsonschema_ray.stages.sampling import stratified_sample
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n, p=[0.7, 0.2, 0.1]),
+            "value": rng.normal(size=n),
+        }
+    )
+    counts = df.event_type.value_counts().to_dict()
+    frac = 0.07
+
+    out1 = (
+        stratified_sample(rd.from_pandas(df), "event_type", frac, "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out2 = (
+        stratified_sample(
+            rd.from_pandas(df).repartition(13), "event_type", frac, "event_id"
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = out1.event_type.value_counts().to_dict()
+    assert got == {g: math.ceil(frac * c) for g, c in counts.items()}
+    pd.testing.assert_frame_equal(out1[sorted(out1.columns)], out2[sorted(out2.columns)])
+    # sampled rows are real input rows
+    merged = out1.merge(df, on=["event_id", "event_type"], suffixes=("", "_in"))
+    assert len(merged) == len(out1)
+
+
+def test_content_flags_matches_re():
+    """pyarrow RE2 counts == Python re counts per doc; flagged is the
+    disjunction."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.text import PII_PATTERNS, content_flags
+
+    texts = [
+        "contact me at bob@example.com or visit https://x.test/page",
+        "account 1234567 and card 987654321",
+        "nothing suspicious here",
+        "two mails a@b.io c@d.org and 111222333444",
+        "",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = content_flags(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for name, pat in PII_PATTERNS.items():
+        exp = [len(re.findall(pat, t)) for t in texts]
+        assert got[f"n_{name}"].tolist() == exp, name
+    exp_flag = [
+        any(re.search(p, t) for p in PII_PATTERNS.values()) for t in texts
+    ]
+    assert got["flagged"].tolist() == exp_flag
