@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": q.q_decontaminate,
         "q_stratified_sample": q.q_stratified_sample,
         "q_content_flags": q.q_content_flags,
+        "q_repetition": q.q_repetition,
+        "q_mix_sources": q.q_mix_sources,
+        "q_pack_sequences": q.q_pack_sequences,
         # rows-only (the stub embedder's random projection matrix is not
         # SQL-expressible; pytest holds its oracle)
         "q_embed_dedup": q.q_embed_dedup,
@@ -175,4 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": q.DECONTAM_SQL,
         "q_stratified_sample": q.STRATIFIED_SAMPLE_SQL,
         "q_content_flags": q.CONTENT_FLAGS_SQL,
+        "q_repetition": q.REPETITION_SQL,
+        "q_mix_sources": q.MIX_SOURCES_SQL,
+        "q_pack_sequences": q.PACK_SEQUENCES_SQL,
     }

@@ -2054,3 +2054,98 @@ SELECT doc_id,
    OR len(regexp_extract_all(text, '(the|a) [a-z]+')) > 0) AS flagged
 FROM documents
 """
+
+
+def q_repetition(sf_dir: str):
+    """Intra-doc repetition quality signals (top-token fraction, duplicate
+    3-gram fraction) — stages/text.py repetition_scores; the oracle
+    recomputes both in string space, so agreement checks the hash-space
+    counting end-to-end."""
+    import ray.data as rd
+
+    from ..stages.text import repetition_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_scores(ds, n=3)
+
+
+REPETITION_SQL = r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+flat AS (SELECT doc_id, unnest(t) AS w FROM tok),
+tc AS (SELECT doc_id, w, COUNT(*) AS c FROM flat GROUP BY doc_id, w),
+toptok AS (SELECT doc_id, MAX(c) AS mc, CAST(SUM(c) AS BIGINT) AS nt FROM tc GROUP BY doc_id),
+sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       FROM tok CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+dist AS (SELECT doc_id, COUNT(DISTINCT s) AS d FROM sh GROUP BY doc_id)
+SELECT k.doc_id,
+       COALESCE(p.nt, 0) AS n_tokens,
+       ROUND(COALESCE(CAST(p.mc AS DOUBLE) / p.nt, 0.0), 6) AS top_token_frac,
+       ROUND(CASE WHEN len(k.t) >= 3
+                  THEN 1.0 - CAST(d.d AS DOUBLE) / (len(k.t) - 2)
+                  ELSE 0.0 END, 6) AS dup_ngram_frac
+FROM tok k LEFT JOIN toptok p USING (doc_id) LEFT JOIN dist d USING (doc_id)
+"""
+
+
+def q_mix_sources(sf_dir: str):
+    """Temperature-reweighted source mixing (alpha=0.5 flattening, 10%
+    overall budget) over event types — stages/sampling.py
+    temperature_sample; the oracle rebuilds the POWER-weighted quotas and
+    the deterministic hash rank in SQL."""
+    import ray.data as rd
+
+    from ..stages.sampling import temperature_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+    return temperature_sample(ds, "event_type", 0.5, 0.10, "event_id")
+
+
+MIX_SOURCES_SQL = """
+WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+tot AS (SELECT SUM(n) AS N, SUM(POWER(n, 0.5)) AS W FROM c),
+qt AS (SELECT c.event_type,
+         LEAST(c.n, CEIL(0.10 * tot.N * POWER(c.n, 0.5) / tot.W)) AS q
+       FROM c, tot),
+r AS (SELECT e.event_id, e.event_type, e.ts, e.value,
+        ROW_NUMBER() OVER (PARTITION BY e.event_type
+          ORDER BY (CAST(e.event_id AS HUGEINT) * 2654435761) % 18446744073709551616,
+                   e.event_id) AS rn
+      FROM events e)
+SELECT r.event_id, r.event_type, r.ts, r.value
+FROM r JOIN qt USING (event_type) WHERE r.rn <= qt.q
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Next-fit sequence packing of documents into 512-token bins within
+    doc_id//64 partitions — stages/packing.py; the oracle replays the
+    same greedy rule with a rank-deep recursive CTE (one recursion step
+    per rank across ALL partitions, so depth = max partition size)."""
+    import ray.data as rd
+
+    from ..stages.packing import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(ds, budget=512, part_size=64)
+
+
+PACK_SEQUENCES_SQL = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, doc_id // 64 AS part,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS rn FROM tok),
+r AS (
+  SELECT doc_id, part, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_idx, n_tokens AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.part, o.n_tokens, o.rn,
+         CASE WHEN r.fill + o.n_tokens > 512 THEN r.bin_idx + 1 ELSE r.bin_idx END,
+         CASE WHEN r.fill + o.n_tokens > 512 THEN o.n_tokens ELSE r.fill + o.n_tokens END
+  FROM r JOIN o ON o.part = r.part AND o.rn = r.rn + 1)
+SELECT doc_id, part, bin_idx, n_tokens FROM r
+"""

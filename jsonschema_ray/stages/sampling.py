@@ -23,7 +23,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["deterministic_sample", "grouped_head", "stratified_sample"]
+__all__ = [
+    "deterministic_sample",
+    "grouped_head",
+    "stratified_sample",
+    "temperature_sample",
+]
 
 
 def deterministic_sample(ds, id_col: str, modulus: int = 100, keep_below: int = 10):
@@ -97,7 +102,35 @@ def stratified_sample(ds, group_col: str, frac: float, id_col: str):
     Reproducible across reruns, partitionings and resume boundaries, and
     exactly replicable as a SQL ``ROW_NUMBER() OVER (PARTITION BY g ORDER
     BY (id·K) % 2^64, id) <= CEIL(frac·n)`` oracle."""
-    from .bucketing import bucketed_map_groups
+    counts = _group_counts(ds, group_col)
+    quota = {g: int(math.ceil(frac * int(c))) for g, c in counts.items()}
+    return _quota_head(ds, group_col, quota, id_col)
+
+
+def temperature_sample(ds, group_col: str, alpha: float, frac: float, id_col: str):
+    """Temperature-reweighted source mixing: downsample each group to
+
+        ``quota_g = min(n_g, ceil(frac · N · n_g^α / Σ n^α))``
+
+    — the standard multi-source/multilingual mixing rule (α = 1 is
+    proportional, α < 1 flattens toward uniform, boosting rare sources'
+    SHARE while never upsampling past a group's actual rows).  Rows are
+    chosen by the same deterministic hash order as
+    :func:`stratified_sample`, so the output is reproducible and exactly
+    SQL-replicable (``POWER`` weights + the ``ROW_NUMBER`` rank)."""
+    counts = _group_counts(ds, group_col).to_dict()
+    total = float(sum(int(c) for c in counts.values()))
+    wsum = float(sum(float(c) ** alpha for c in counts.values()))
+    quota = {
+        g: min(int(c), int(math.ceil(frac * total * (float(c) ** alpha) / wsum)))
+        for g, c in counts.items()
+    }
+    return _quota_head(ds, group_col, quota, id_col)
+
+
+def _group_counts(ds, group_col: str) -> pd.Series:
+    """Exact group sizes via per-batch combiner partials — the collected
+    table is bounded by (#groups × #blocks), tiny for mixing keys."""
 
     def partial_counts(t: pa.Table) -> pa.Table:
         v = t[group_col].combine_chunks()
@@ -109,14 +142,19 @@ def stratified_sample(ds, group_col: str, frac: float, id_col: str):
             }
         )
 
-    counts = (
+    return (
         ds.select_columns([group_col])
         .map_batches(partial_counts, batch_format="pyarrow")
         .to_pandas()
         .groupby(group_col)["_c"]
         .sum()
     )
-    quota = {g: int(math.ceil(frac * int(c))) for g, c in counts.items()}
+
+
+def _quota_head(ds, group_col: str, quota: dict, id_col: str):
+    """Keep each group's first ``quota[g]`` rows under the deterministic
+    hash order (local prune → one group-keyed exchange)."""
+    from .bucketing import bucketed_map_groups
 
     def head(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy(np.int64).view(np.uint64)

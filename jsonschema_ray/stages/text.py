@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats", "quality_scores", "quality_filter", "LangId", "lang_id", "fingerprints", "content_flags", "PII_PATTERNS", "STOPWORDS"]
+__all__ = ["token_stats", "quality_scores", "quality_filter", "LangId", "lang_id", "fingerprints", "content_flags", "repetition_scores", "PII_PATTERNS", "STOPWORDS"]
 
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 
@@ -251,3 +251,78 @@ def content_flags(ds, patterns=None, text_col="text", id_col="doc_id"):
         return pa.table(cols)
 
     return ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SCH_REP = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("top_token_frac", pa.float64()),
+        ("dup_ngram_frac", pa.float64()),
+    ]
+)
+
+_REP_SEG_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def repetition_scores(ds, n: int = 3, text_col="text", id_col="doc_id"):
+    """Intra-document repetition signals (the Gopher/MassiveText repetition
+    filters): per doc, the fraction of tokens taken by the single most
+    frequent token and the fraction of duplicate word-``n``-grams
+    (``1 − distinct/total``).  Repetitive machine-generated text scores
+    high on both; the downstream quality gate thresholds them.
+
+    One vectorized ``map_batches`` pass over the byte-buffer token kernel
+    (stages/tokhash.py) — token/ngram multiplicities are counted entirely
+    in 64-bit hash space (no token strings), grouped with argsort +
+    ``reduceat``.  No shuffle; collisions are as unlikely as in the
+    shingle operators the engine already trusts.  Docs with fewer than
+    ``n`` tokens hash their whole token run (one n-gram, dup fraction 0),
+    matching the shingle convention in stages/dedup.py."""
+    from .bucketing import group_bounds
+    from .dedup import _batch_shingles
+    from .tokhash import batch_token_hashes
+
+    def score(t: pa.Table) -> pa.Table:
+        np.seterr(over="ignore")  # uint64 wraparound IS the mixing
+        n_docs = t.num_rows
+        th, sg, ntok = batch_token_hashes(t[text_col])
+        top = np.zeros(n_docs, dtype=np.float64)
+        if len(th):
+            # (doc, token) multiplicities: one argsort of the seg-mixed key
+            key = th ^ (sg.astype(np.uint64) * _REP_SEG_MIX)
+            order = np.argsort(key)
+            starts, ends = group_bounds(key[order])
+            cnt = (ends - starts).astype(np.int64)
+            gdoc = sg[order[starts]]
+            dorder = np.argsort(gdoc, kind="stable")
+            gdoc_s, cnt_s = gdoc[dorder], cnt[dorder]
+            dstarts, _ = group_bounds(gdoc_s)
+            present = gdoc_s[dstarts]
+            top[present] = np.maximum.reduceat(cnt_s, dstarts) / ntok[present]
+        # distinct n-grams from the deduped shingle kernel; totals are
+        # arithmetic (len-n+1, with the short-doc whole-run fallback)
+        _hh, ss = _batch_shingles(t[text_col], n)
+        distinct = np.bincount(ss, minlength=n_docs).astype(np.int64)
+        total = np.where(ntok >= n, ntok - n + 1, np.where(ntok > 0, 1, 0))
+        dup = np.zeros(n_docs, dtype=np.float64)
+        nz = total > 0
+        dup[nz] = 1.0 - distinct[nz] / total[nz]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(ntok),
+                "top_token_frac": pa.array(np.round(top, 6)),
+                "dup_ngram_frac": pa.array(np.round(dup, 6)),
+            },
+            schema=pa.schema(
+                [
+                    (id_col, t.schema.field(id_col).type),
+                    ("n_tokens", pa.int64()),
+                    ("top_token_frac", pa.float64()),
+                    ("dup_ngram_frac", pa.float64()),
+                ]
+            ),
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -390,3 +390,133 @@ def test_content_flags_matches_re():
         any(re.search(p, t) for p in PII_PATTERNS.values()) for t in texts
     ]
     assert got["flagged"].tolist() == exp_flag
+
+
+def test_repetition_scores_matches_bruteforce():
+    """Hash-space repetition counting == string-space brute force,
+    including short docs, repeated tokens and empty text."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.text import repetition_scores
+
+    texts = [
+        "a a a a b",  # top token 4/5, dup 3-grams: aaa aab abb? -> windows: aaa aaa aab -> dup
+        "w x y z w x y z",
+        "unique words only here now",
+        "t t",  # short: 1 whole-run ngram, dup 0
+        "",
+        "solo",
+    ]
+    ids = list(range(len(texts)))
+
+    def brute(s, n=3):
+        t = s.split()
+        if not t:
+            return 0, 0.0, 0.0
+        from collections import Counter
+
+        top = max(Counter(t).values()) / len(t)
+        if len(t) < n:
+            return len(t), top, 0.0
+        grams = [tuple(t[i : i + n]) for i in range(len(t) - n + 1)]
+        dup = 1.0 - len(set(grams)) / len(grams)
+        return len(t), top, dup
+
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = (
+        repetition_scores(ds, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, s in enumerate(texts):
+        nt, top, dup = brute(s)
+        assert got.n_tokens[i] == nt, s
+        assert got.top_token_frac[i] == pytest.approx(top, abs=1e-6), s
+        assert got.dup_ngram_frac[i] == pytest.approx(dup, abs=1e-6), s
+
+
+def test_temperature_sample_quotas():
+    """alpha=0 → uniform quotas capped at group size; alpha=1 →
+    proportional; output rows are real input rows."""
+    import math
+
+    import ray.data as rd
+
+    from jsonschema_ray.stages.sampling import temperature_sample
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "src": np.repeat(["big", "mid", "rare"], [2500, 450, 50]),
+            "v": rng.normal(size=n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    counts = {"big": 2500, "mid": 450, "rare": 50}
+
+    out = temperature_sample(ds, "src", 0.0, 0.05, "event_id").to_pandas()
+    # alpha=0: every group weighted equally -> quota ceil(0.05*3000/3)=50
+    exp = {g: min(c, math.ceil(0.05 * n / 3)) for g, c in counts.items()}
+    assert out.src.value_counts().to_dict() == exp
+
+    out1 = temperature_sample(ds, "src", 1.0, 0.05, "event_id").to_pandas()
+    wsum = sum(counts.values())
+    exp1 = {g: min(c, math.ceil(0.05 * n * c / wsum)) for g, c in counts.items()}
+    assert out1.src.value_counts().to_dict() == exp1
+    merged = out1.merge(df, on=["event_id", "src"], suffixes=("", "_in"))
+    assert len(merged) == len(out1)
+
+
+def test_pack_sequences_matches_bruteforce():
+    """Vectorized rank-major packing == per-partition sequential next-fit;
+    stable across block layouts; bins respect the budget except
+    single-oversize docs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    n = 700
+    ids = np.sort(rng.choice(5000, n, replace=False)).astype(np.int64)
+    texts = [" ".join("w" for _ in range(int(rng.integers(0, 40)))) for _ in ids]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts})).repartition(9)
+    budget, psize = 100, 16
+    got = (
+        pack_sequences(ds, budget=budget, part_size=psize)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    ntok = {int(i): len(t.split()) for i, t in zip(ids, texts)}
+    exp_bins = {}
+    parts = {}
+    for i in sorted(ntok):
+        parts.setdefault(i // psize, []).append(i)
+    for p, docs in parts.items():
+        fill, cur = None, 0
+        for d in docs:
+            nt = ntok[d]
+            if fill is None:
+                fill, cur = nt, 0
+            elif fill + nt > budget:
+                cur += 1
+                fill = nt
+            else:
+                fill += nt
+            exp_bins[d] = (p, cur)
+
+    assert len(got) == n
+    for r in got.itertuples():
+        assert (r.part, r.bin_idx) == exp_bins[int(r.doc_id)]
+        assert r.n_tokens == ntok[int(r.doc_id)]
+    # budget respected: per (part,bin) sums exceed budget only for a
+    # single oversize doc
+    sums = got.groupby(["part", "bin_idx"]).agg(s=("n_tokens", "sum"), c=("n_tokens", "size"))
+    bad = sums[(sums.s > budget) & (sums.c > 1)]
+    assert bad.empty
