@@ -39,6 +39,19 @@ def builtin_remote_cache() -> dict[str, bytes]:
     }
 
 
+def _fs_valid_path(p: str) -> bool:
+    """Mirror of Go ``io/fs.ValidPath`` (reference resolver.go:87): a valid
+    path is unrooted and slash-separated with no empty, "." or ".."
+    elements; "." alone names the root.  The reference REJECTS any other
+    shape when ``AllowRelative`` is false — including rooted paths and
+    ``..`` traversals the previous ``startswith("/")`` check let through."""
+    if p == ".":
+        return True
+    if not p or p.startswith("/") or p.endswith("/"):
+        return False
+    return all(el not in ("", ".", "..") for el in p.split("/"))
+
+
 class NoRemote:
     def resolve(self, loc: str) -> bytes:
         raise ResolveError("remote references are not allowed")
@@ -78,7 +91,7 @@ class Remote:
                 raise ResolveError(f"do: {e}") from None
         if scheme in ("file", ""):
             path = parts.path
-            if not self.allow_relative and path.startswith("/"):
+            if not self.allow_relative and not _fs_valid_path(path):
                 raise ResolveError("relative paths are not allowed")
             try:
                 with open(path, "rb") as f:

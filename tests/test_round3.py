@@ -520,3 +520,15 @@ def test_pack_sequences_matches_bruteforce():
     sums = got.groupby(["part", "bin_idx"]).agg(s=("n_tokens", "sum"), c=("n_tokens", "size"))
     bad = sums[(sums.s > budget) & (sums.c > 1)]
     assert bad.empty
+
+
+def test_remote_file_path_validation_matches_go_fsvalidpath():
+    """Remote file-scheme path gate mirrors Go io/fs.ValidPath
+    (reference resolver.go:87): '..' traversals and rooted/degenerate
+    paths are rejected unless allow_relative is set."""
+    from jsonschema_ray.core.resolver import Remote, ResolveError
+
+    r = Remote()
+    for bad in ("/etc/hosts", "../secret.json", "a/../b.json", "a//b", "a/", ""):
+        with pytest.raises(ResolveError, match="relative paths"):
+            r.resolve(f"file://{bad}" if bad.startswith("/") else bad)
