@@ -139,6 +139,12 @@ def main() -> None:
     timings["bloom_semi_join"] = round(sec, 3)
     sec, _ = _timed(lambda: q.q_curate(SF_DIR).count())
     timings["curate"] = round(sec, 3)
+    sec, _ = _timed(lambda: q.q_decontaminate(SF_DIR).count())
+    timings["decontaminate"] = round(sec, 3)
+    sec, _ = _timed(lambda: q.q_repetition(SF_DIR).count())
+    timings["repetition"] = round(sec, 3)
+    sec, _ = _timed(lambda: q.q_pack_sequences(SF_DIR).count())
+    timings["pack_sequences"] = round(sec, 3)
 
     result = {
         "metric": "transcript validation wall time (full check suite)",
