@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": q.q_repetition,
         "q_mix_sources": q.q_mix_sources,
         "q_pack_sequences": q.q_pack_sequences,
+        "q_redact": q.q_redact,
         # rows-only (the stub embedder's random projection matrix is not
         # SQL-expressible; pytest holds its oracle)
         "q_embed_dedup": q.q_embed_dedup,
@@ -181,4 +182,5 @@ def oracle_sql() -> dict[str, str]:
         "q_repetition": q.REPETITION_SQL,
         "q_mix_sources": q.MIX_SOURCES_SQL,
         "q_pack_sequences": q.PACK_SEQUENCES_SQL,
+        "q_redact": q.REDACT_SQL,
     }

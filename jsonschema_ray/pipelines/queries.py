@@ -2149,3 +2149,27 @@ r AS (
   FROM r JOIN o ON o.part = r.part AND o.rn = r.rn + 1)
 SELECT doc_id, part, bin_idx, n_tokens FROM r
 """
+
+
+def q_redact(sf_dir: str):
+    """PII redaction pass (emails, long digit runs, URLs -> "[PII]") —
+    stages/text.py redact; the oracle chains the same RE2 replacements
+    with regexp_replace(..., 'g'), so the rewritten text value-matches."""
+    import ray.data as rd
+
+    from ..stages.text import redact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return redact(ds)
+
+
+REDACT_SQL = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+      '[0-9]{6,}', '[PII]', 'g'),
+    'https?://[^\s]+', '[PII]', 'g') AS text
+FROM documents
+"""

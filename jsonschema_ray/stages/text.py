@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats", "quality_scores", "quality_filter", "LangId", "lang_id", "fingerprints", "content_flags", "repetition_scores", "PII_PATTERNS", "STOPWORDS"]
+__all__ = ["token_stats", "quality_scores", "quality_filter", "LangId", "lang_id", "fingerprints", "content_flags", "redact", "repetition_scores", "PII_PATTERNS", "STOPWORDS"]
 
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 
@@ -326,3 +326,26 @@ def repetition_scores(ds, n: int = 3, text_col="text", id_col="doc_id"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact(ds, patterns=None, replacement="[PII]", text_col="text", id_col="doc_id"):
+    """PII/block-list redaction: replace every match of each pattern with
+    ``replacement`` — the transform counterpart of :func:`content_flags`
+    (screening flags, this rewrites).  Patterns apply in dict order, each
+    over the previous pattern's output, matching a nested SQL
+    ``regexp_replace(..., 'g')`` chain exactly (both sides are RE2 with
+    leftmost non-overlapping semantics).
+
+    One vectorized ``map_batches`` pass, no shuffle: each pattern is one
+    ``replace_substring_regex`` kernel over the Arrow string column."""
+    pats = dict(patterns) if patterns is not None else dict(PII_PATTERNS)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        for pat in pats.values():
+            col = pc.replace_substring_regex(
+                col, pattern=pat, replacement=replacement
+            )
+        return pa.table({id_col: t[id_col], text_col: col})
+
+    return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)

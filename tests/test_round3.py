@@ -532,3 +532,27 @@ def test_remote_file_path_validation_matches_go_fsvalidpath():
     for bad in ("/etc/hosts", "../secret.json", "a/../b.json", "a//b", "a/", ""):
         with pytest.raises(ResolveError, match="relative paths"):
             r.resolve(f"file://{bad}" if bad.startswith("/") else bad)
+
+
+def test_redact_matches_re_sub():
+    """Chained RE2 replacement == Python re.sub chain in pattern order."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.text import PII_PATTERNS, redact
+
+    texts = [
+        "mail bob@example.com then call 1234567",
+        "see https://x.test/a?b=1 and c@d.org",
+        "clean text stays clean",
+        "",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    got = redact(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, s in enumerate(texts):
+        exp = s
+        for pat in PII_PATTERNS.values():
+            exp = re.sub(pat, "[PII]", exp)
+        assert got.text[i] == exp, s
