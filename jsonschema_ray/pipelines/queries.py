@@ -1960,26 +1960,23 @@ def q_decontaminate(sf_dir: str):
     oracle rebuilds the n-gram sets as strings in DuckDB; the engine
     counts in hash space (stages/decontam.py), so equal counts check the
     whole explode/exchange/combine chain."""
+    import numpy as np
     import ray.data as rd
 
     from ..stages.decontam import contamination_scores
 
-    def side(keep_bench: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-            m = (ids % 37) == 0
-            return t.filter(pa.array(m if keep_bench else ~m))
-
-        return f
-
-    def read():
-        return rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bench_side", pa.array(((ids % 37) == 0).astype(np.int8))
         )
 
-    train = read().map_batches(side(False), batch_format="pyarrow")
-    bench = read().map_batches(side(True), batch_format="pyarrow")
-    return contamination_scores(train, bench, n=3, threshold=0.0)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(tag, batch_format="pyarrow")
+    # single scan: the benchmark split lives inside the corpus, so the
+    # side tag rides the shingle rows instead of reading the parquet twice
+    return contamination_scores(ds, n=3, threshold=0.0, side_col="bench_side")
 
 
 DECONTAM_SQL = r"""

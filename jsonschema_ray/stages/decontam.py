@@ -50,24 +50,60 @@ _SCH_OUT = pa.schema(
 
 def contamination_scores(
     train_ds,
-    bench_ds,
+    bench_ds=None,
     n: int = 3,
     threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    side_col: str | None = None,
 ):
     """→ Dataset (doc_id, n_ngrams, n_hit, containment): every training
     doc with at least one word-``n``-gram shared with the benchmark set
     and containment ≥ ``threshold``.
 
+    Two input shapes:
+
+    * ``(train_ds, bench_ds)`` — separate tables (the 100 TB norm: a huge
+      training corpus vs a small benchmark table), each scanned once;
+    * ``(ds, side_col=...)`` — ONE table carrying a 0/1 side column
+      (benchmark split lives inside the corpus): a single scan shingles
+      both sides together instead of reading the input twice.
+
     Callers are responsible for the two sides being disjoint (a doc on
     both sides trivially scores containment 1.0)."""
+    if (bench_ds is None) == (side_col is None):
+        raise ValueError("pass exactly one of bench_ds or side_col")
     from .bucketing import (
         bucketed_map_groups,
         col_np,
         group_bounds,
     )
-    from .dedup import shingle_rows
+    from .dedup import _batch_shingles, shingle_rows
+
+    if side_col is not None:
+
+        def explode_with_side(t: pa.Table) -> pa.Table:
+            ids = col_np(t, id_col).astype(np.int64)
+            sides = col_np(t, side_col).astype(np.int8)
+            h, seg = _batch_shingles(t[text_col], n)
+            counts = (
+                np.bincount(seg, minlength=t.num_rows)
+                if len(seg)
+                else np.zeros(t.num_rows, np.int64)
+            )
+            return pa.table(
+                {
+                    "shingle": pa.array(h.astype(np.int64)),
+                    "doc_id": pa.array(ids[seg]),
+                    "n_sh": pa.array(counts[seg].astype(np.int64)),
+                    "side": pa.array(sides[seg]),
+                }
+            )
+
+        both = train_ds.map_batches(
+            explode_with_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return _score(both, threshold, bucketed_map_groups, col_np, group_bounds)
 
     def tag(side: int):
         def add(t: pa.Table) -> pa.Table:
@@ -83,6 +119,14 @@ def contamination_scores(
     be = shingle_rows(bench_ds, text_col, id_col, n).map_batches(
         tag(1), batch_format="pyarrow"
     )
+    return _score(tr.union(be), threshold, bucketed_map_groups, col_np, group_bounds)
+
+
+def _score(tagged_shingles, threshold, bucketed_map_groups, col_np, group_bounds):
+    """(shingle, doc_id, n_sh, side) rows → scored containment output:
+    one shingle-keyed exchange marks train rows colliding with any
+    benchmark shingle, one doc-keyed exchange sums the per-bucket
+    partials."""
 
     def hits_in_bucket(t: pa.Table) -> pa.Table:
         sh = col_np(t, "shingle")
@@ -110,7 +154,7 @@ def contamination_scores(
         )
 
     partials = bucketed_map_groups(
-        tr.union(be),
+        tagged_shingles,
         ["shingle"],
         hits_in_bucket,
         out_schema=_SCH_PARTIAL,

@@ -556,3 +556,37 @@ def test_redact_matches_re_sub():
         for pat in PII_PATTERNS.values():
             exp = re.sub(pat, "[PII]", exp)
         assert got.text[i] == exp, s
+
+
+def test_contamination_single_scan_equals_two_dataset():
+    """side_col single-scan mode == two-dataset mode on the same split."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.decontam import contamination_scores
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(80)]
+    ids = np.arange(80, dtype=np.int64)
+    bench_mask = ids % 7 == 0
+
+    t = pa.table({"doc_id": ids, "text": texts})
+    two = contamination_scores(
+        rd.from_arrow(t.filter(pa.array(~bench_mask))),
+        rd.from_arrow(t.filter(pa.array(bench_mask))),
+        n=3,
+    ).to_pandas()
+    one = contamination_scores(
+        rd.from_arrow(t.append_column("side", pa.array(bench_mask.astype(np.int8)))),
+        n=3,
+        side_col="side",
+    ).to_pandas()
+    cols = ["doc_id", "n_ngrams", "n_hit", "containment"]
+    pd.testing.assert_frame_equal(
+        two[cols].sort_values("doc_id").reset_index(drop=True),
+        one[cols].sort_values("doc_id").reset_index(drop=True),
+    )
+
+    with pytest.raises(ValueError):
+        contamination_scores(rd.from_arrow(t))
