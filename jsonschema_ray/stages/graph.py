@@ -29,20 +29,17 @@ __all__ = ["connected_components", "components_keep_first"]
 _SCH_LABELS = pa.schema([("node", pa.int64()), ("component", pa.int64())])
 
 
-def _driver_union_find(edges_df: pd.DataFrame):
-    """Exact min-label components on the driver, fully vectorized: edges
-    are compressed to dense node ids once, then each round takes the
-    per-node min over neighbor labels with ONE ``minimum.reduceat`` on the
-    pre-sorted edge list and collapses label chains with pointer jumps
-    (``L ← L[L]``) — O(E) numpy work per round, O(log n) rounds, no
-    per-edge Python (the old dict-based loop took ~70 s at 5M edges;
-    this takes ~2 s)."""
+def _minlabel_core(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact min-label components over a SYMMETRIC (doubled) edge list,
+    fully vectorized: edges are compressed to dense node ids once, then
+    each round takes the per-node min over neighbor labels with ONE
+    ``minimum.reduceat`` on the pre-sorted edge list and collapses label
+    chains with pointer jumps (``L ← L[L]``) — O(E) numpy work per round,
+    O(log n) rounds, no per-edge Python.  → (nodes, component node ids)."""
     from .bucketing import group_bounds
 
-    src = edges_df["src"].to_numpy()
-    dst = edges_df["dst"].to_numpy()
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-    ea, eb = inv[: len(src)], inv[len(src) :]  # edges are already doubled
+    ea, eb = inv[: len(src)], inv[len(src) :]
 
     order = np.argsort(ea, kind="stable")
     ea_s, eb_s = ea[order], eb[order]
@@ -62,9 +59,17 @@ def _driver_union_find(edges_df: pd.DataFrame):
         if np.array_equal(l2, label):
             break
         label = l2
-    return pa.table(
-        {"node": pa.array(nodes.astype(np.int64)), "component": pa.array(nodes[label].astype(np.int64))}
+    return nodes.astype(np.int64), nodes[label].astype(np.int64)
+
+
+def _driver_union_find(edges_df: pd.DataFrame):
+    """Driver-side wrapper of :func:`_minlabel_core` over a doubled
+    (src, dst) frame (the old dict-based loop took ~70 s at 5M edges;
+    this takes ~2 s)."""
+    nodes, comp = _minlabel_core(
+        edges_df["src"].to_numpy(), edges_df["dst"].to_numpy()
     )
+    return pa.table({"node": pa.array(nodes), "component": pa.array(comp)})
 
 
 def connected_components(
@@ -72,18 +77,46 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 50,
-    driver_threshold: int = 5_000_000,
+    driver_threshold: int = 24_000_000,
+    contract: bool = True,
 ):
     """→ Dataset (node, component): component = min node id reachable.
 
     ``pairs_ds`` holds undirected edges as (a, b) rows (any orientation,
-    duplicates fine).  Below ``driver_threshold`` edge rows the exact
-    union-find runs on the driver (an 8-byte-per-edge frame; the iterative
-    exchanges' fixed cost dwarfs it) — the distributed label-propagation
-    loop is the path past that.
+    duplicates fine).
+
+    ``contract`` (default on) first runs exact components over each edge
+    BLOCK and replaces the block's edges by its spanning forest
+    (node → local root, roots kept as self-edges) — one ``map_batches``
+    pass, no exchange, components provably preserved (a spanning forest
+    of any edge subset keeps that subset's connectivity).  Dedup
+    similarity graphs are clique-heavy, so this collapses m·(m-1)/2
+    clique edges to m rows before anything shuffles.
+
+    Below ``driver_threshold`` doubled-edge rows the exact union-find
+    runs on the driver (16 bytes per edge; the vectorized kernel does
+    12M doubled edges in ~15 s, far under one round of the iterative
+    exchanges at that size) — the distributed label-propagation loop is
+    the path past that.
     """
-    from .bucketing import bucketed_map_groups
+    from .bucketing import bucketed_map_groups, col_np
     from .joins import hash_join
+
+    if contract:
+
+        def contract_batch(t: pa.Table) -> pa.Table:
+            a = col_np(t, a_col).astype(np.int64)
+            b = col_np(t, b_col).astype(np.int64)
+            if len(a) == 0:
+                return pa.table(
+                    {a_col: pa.array([], pa.int64()), b_col: pa.array([], pa.int64())}
+                )
+            nodes, roots = _minlabel_core(
+                np.concatenate([a, b]), np.concatenate([b, a])
+            )
+            return pa.table({a_col: pa.array(nodes), b_col: pa.array(roots)})
+
+        pairs_ds = pairs_ds.map_batches(contract_batch, batch_format="pyarrow")
 
     def to_edges(t: pa.Table) -> pa.Table:
         a = t[a_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)

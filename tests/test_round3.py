@@ -590,3 +590,40 @@ def test_contamination_single_scan_equals_two_dataset():
 
     with pytest.raises(ValueError):
         contamination_scores(rd.from_arrow(t))
+
+
+def test_components_contraction_and_distributed_loop_agree():
+    """Per-block spanning-forest contraction + the distributed label loop
+    (forced via driver_threshold=1) == driver union-find on random
+    graphs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.graph import (
+        _driver_union_find,
+        connected_components,
+    )
+
+    rng = np.random.default_rng(23)
+    n, m = 400, 700
+    a = rng.integers(0, n, m).astype(np.int64)
+    b = rng.integers(0, n, m).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"a": a, "b": b})).repartition(5)
+
+    want = (
+        _driver_union_find(
+            pd.DataFrame(
+                {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+            )
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = (
+        connected_components(ds, driver_threshold=1)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
