@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mix_sources": q.q_mix_sources,
         "q_pack_sequences": q.q_pack_sequences,
         "q_redact": q.q_redact,
+        "q_tfidf": q.q_tfidf,
         # rows-only (the stub embedder's random projection matrix is not
         # SQL-expressible; pytest holds its oracle)
         "q_embed_dedup": q.q_embed_dedup,
@@ -183,4 +184,5 @@ def oracle_sql() -> dict[str, str]:
         "q_mix_sources": q.MIX_SOURCES_SQL,
         "q_pack_sequences": q.PACK_SEQUENCES_SQL,
         "q_redact": q.REDACT_SQL,
+        "q_tfidf": q.TFIDF_SQL,
     }

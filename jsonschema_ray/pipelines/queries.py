@@ -2170,3 +2170,29 @@ SELECT doc_id,
     'https?://[^\s]+', '[PII]', 'g') AS text
 FROM documents
 """
+
+
+def q_tfidf(sf_dir: str):
+    """Top-5 TF-IDF terms per document — stages/tfidf.py; ranking on the
+    6-decimal rounded score with a term tie-break so the SQL window
+    oracle reproduces the exact row set."""
+    import ray.data as rd
+
+    from ..stages.tfidf import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=5, n_docs=ds.count())
+
+
+TFIDF_SQL = r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+tfs AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfs GROUP BY term),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+sc AS (SELECT f.doc_id, f.term, f.tf, d.df,
+         ROUND(f.tf * ln(CAST(nn.n AS DOUBLE) / d.df), 6) AS tfidf
+       FROM tfs f JOIN dfs d USING (term), nn),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         ORDER BY tfidf DESC, term) AS rn FROM sc)
+SELECT doc_id, term, tf, df, tfidf FROM r WHERE rn <= 5
+"""

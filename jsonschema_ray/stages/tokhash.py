@@ -28,6 +28,7 @@ import pyarrow as pa
 __all__ = [
     "batch_token_hashes",
     "hash_words",
+    "spans_to_strings",
     "mix64",
     "TOKHASH_SQL_MACROS",
     "POLY_B",
@@ -187,3 +188,28 @@ CREATE OR REPLACE MACRO tokpoly(tok) AS list_reduce(
     (a, b) -> u64(a * 1099511628211 + b));
 CREATE OR REPLACE MACRO tokhash(tok) AS mix64(tokpoly(tok));
 """
+
+
+def spans_to_strings(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> pa.Array:
+    """Arrow string array built from (start, len) byte spans of ``buf`` —
+    one vectorized gather (repeat + arange), no per-span Python.  The
+    counterpart of ``include_spans``: callers keep hashes for the hot
+    path and materialize only the few strings they actually output."""
+    n = len(starts)
+    if n == 0:
+        return pa.array([], pa.string())
+    lens = lens.astype(np.int64)
+    total = int(lens.sum())
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    if total == 0:
+        data = np.empty(0, np.uint8)
+    else:
+        reps = np.repeat(starts.astype(np.int64), lens)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            offsets[:-1].astype(np.int64), lens
+        )
+        data = buf[reps + intra]
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())
+    )

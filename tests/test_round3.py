@@ -627,3 +627,49 @@ def test_components_contraction_and_distributed_loop_agree():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_tfidf_top_terms_matches_bruteforce():
+    """Distributed 3-exchange TF-IDF == Python Counter brute force,
+    including rounded-score rank ties broken by term."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.tfidf import tfidf_top_terms
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple apple apple egg",
+        "fig",
+        "",
+    ]
+    n_docs = len(texts)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(n_docs)), "text": texts})
+    ).repartition(3)
+
+    tfs = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    dfs = Counter(w for c in tfs.values() for w in c)
+    expect = {}
+    for i, c in tfs.items():
+        scored = sorted(
+            (
+                (round(tf * math.log(n_docs / dfs[w]), 6), w, tf, dfs[w])
+                for w, tf in c.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        if scored:
+            expect[i] = [(w, tf, df, s) for s, w, tf, df in scored]
+
+    got = tfidf_top_terms(ds, k=2, n_docs=n_docs).to_pandas()
+    got_map = {}
+    for r in got.sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True]).itertuples():
+        got_map.setdefault(int(r.doc_id), []).append(
+            (r.term, int(r.tf), int(r.df), float(r.tfidf))
+        )
+    assert got_map == expect
