@@ -1084,6 +1084,26 @@ FROM (
 """
 
 
+def _psi_sql(feature: str, col: str, clean: str, drift: str) -> str:
+    """PSI = Σ (p_o − p_b)·ln(p_o/p_b), 0.5-count floor on absent
+    categories, raw-count totals (drift.py:_psi_stat)."""
+    return f"""
+SELECT '{feature}' AS feature, 'psi' AS stat, ROUND(SUM((po - pb) * ln(po / pb)), 6) AS value
+FROM (
+  SELECT GREATEST(COALESCE(b.c, 0), 0.5)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM read_parquet('{clean}/*.parquet')) AS pb,
+         GREATEST(COALESCE(o.c, 0), 0.5)
+           / (SELECT CAST(COUNT(*) AS DOUBLE) FROM read_parquet('{drift}/*.parquet')) AS po
+  FROM (SELECT COALESCE({col}, '∅null') AS k, COUNT(*) AS c
+        FROM read_parquet('{clean}/*.parquet') GROUP BY 1) b
+  FULL OUTER JOIN
+       (SELECT COALESCE({col}, '∅null') AS k, COUNT(*) AS c
+        FROM read_parquet('{drift}/*.parquet') GROUP BY 1) o
+  ON b.k = o.k
+)
+"""
+
+
 def _ks_sql(feature: str, expr: str, clean: str, drift: str) -> str:
     """Two-sample KS D = max |F1 - F2| over exact per-value histograms."""
     return f"""
@@ -1115,6 +1135,10 @@ j_{feature} AS (
         + _chi2_sql("role", "role", clean, drift)
         + " UNION ALL "
         + _chi2_sql("tool", "tool", clean, drift)
+        + " UNION ALL "
+        + _psi_sql("role", "role", clean, drift)
+        + " UNION ALL "
+        + _psi_sql("tool", "tool", clean, drift)
         + " UNION ALL "
         + _ks_sql("text_len", "length(text)", clean, drift)
         + " UNION ALL "

@@ -120,13 +120,37 @@ def _chi2_stat(baseline: dict, observed: dict) -> float:
     return float(stat)
 
 
+def _psi_stat(baseline: dict, observed: dict) -> float:
+    """Population stability index: Σ (p_o − p_b)·ln(p_o/p_b) over
+    categories, with a 0.5-count floor on either side (the same unseen-
+    category convention as :func:`_chi2_stat`) so empty cells stay
+    finite.  Totals use RAW counts, so the floor only perturbs absent
+    categories.  Classical banking/monitoring rule of thumb: <0.1 stable,
+    0.1–0.25 moderate shift, >0.25 major shift."""
+    import math
+
+    n_base = sum(baseline.values())
+    n_obs = sum(observed.values())
+    if n_base == 0 or n_obs == 0:
+        return 0.0
+    s = 0.0
+    for k in set(baseline) | set(observed):
+        pb = max(baseline.get(k, 0), 0.5) / n_base
+        po = max(observed.get(k, 0), 0.5) / n_obs
+        s += (po - pb) * math.log(po / pb)
+    return float(s)
+
+
 def drift_compare(baseline: dict, candidate: dict, features=None) -> dict:
     """→ {column: {stat_name: value}} for every profiled feature."""
     features = features or DEFAULT_DRIFT_FEATURES
     out = {}
     for col in features["categorical"]:
         if col in baseline and col in candidate:
-            out[col] = {"chi2": round(_chi2_stat(baseline[col], candidate[col]), 6)}
+            out[col] = {
+                "chi2": round(_chi2_stat(baseline[col], candidate[col]), 6),
+                "psi": round(_psi_stat(baseline[col], candidate[col]), 6),
+            }
     for col in features["numeric"]:
         if col in baseline and col in candidate:
             out[col] = {"ks": round(_ks_stat(baseline[col], candidate[col]), 6)}
@@ -138,6 +162,7 @@ def drift_violations(
     candidate: dict,
     ks_threshold: float = 0.1,
     chi2_threshold: float = 50.0,
+    psi_threshold: float = 0.25,
     features=None,
 ) -> pa.Table:
     """Violation rows (conv_id='', turn_idx=-1 → table-scoped) per drifted
@@ -161,6 +186,15 @@ def drift_violations(
                     "turn_idx": -1,
                     "keyword": "drift",
                     "message": f"{col}: chi-square statistic {st['chi2']:.6f} exceeds {chi2_threshold}",
+                }
+            )
+        if "psi" in st and st["psi"] > psi_threshold:
+            rows.append(
+                {
+                    "conv_id": "",
+                    "turn_idx": -1,
+                    "keyword": "drift",
+                    "message": f"{col}: PSI {st['psi']:.6f} exceeds {psi_threshold}",
                 }
             )
     from .checks import VIOLATION_PA_SCHEMA

@@ -673,3 +673,26 @@ def test_tfidf_top_terms_matches_bruteforce():
             (r.term, int(r.tf), int(r.df), float(r.tfidf))
         )
     assert got_map == expect
+
+
+def test_psi_stat_matches_formula():
+    """PSI == hand formula with the 0.5-count floor; identical
+    distributions score ~0; a major shift crosses 0.25."""
+    import math
+
+    from jsonschema_ray.stages.drift import _psi_stat
+
+    base = {"a": 800, "b": 150, "c": 50}
+    same = {"a": 1600, "b": 300, "c": 100}
+    assert _psi_stat(base, same) == pytest.approx(0.0, abs=1e-12)
+
+    obs = {"a": 200, "b": 700, "d": 100}
+    nb, no = 1000, 1000
+    want = 0.0
+    for k in {"a", "b", "c", "d"}:
+        pb = max(base.get(k, 0), 0.5) / nb
+        po = max(obs.get(k, 0), 0.5) / no
+        want += (po - pb) * math.log(po / pb)
+    assert _psi_stat(base, obs) == pytest.approx(want, rel=1e-12)
+    assert _psi_stat(base, obs) > 0.25
+    assert _psi_stat({}, obs) == 0.0
