@@ -74,6 +74,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     cu.add_argument("--num-cpus", type=int, default=None)
 
+    dc = sub.add_parser(
+        "decontaminate",
+        help="n-gram containment of training docs vs a benchmark table",
+    )
+    dc.add_argument("--train", required=True, help="training documents parquet (doc_id, text)")
+    dc.add_argument("--bench", required=True, help="benchmark documents parquet (doc_id, text)")
+    dc.add_argument("--out", required=True, help="output parquet directory (scores)")
+    dc.add_argument("--ngram", type=int, default=3)
+    dc.add_argument("--threshold", type=float, default=0.0, help="min containment to report")
+    dc.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     _ensure_ray(args.num_cpus)
     import ray
@@ -168,6 +179,41 @@ def main(argv: list[str] | None = None) -> int:
                         "rows_in": n_in,
                         "rows_out": n_out,
                         "dropped": n_in - n_out,
+                        "out_dir": args.out,
+                    }
+                )
+            )
+            return 0
+        if args.cmd == "decontaminate":
+            import os
+
+            from .stages.decontam import contamination_scores
+
+            if os.path.isdir(args.out) and os.listdir(args.out):
+                print(
+                    json.dumps(
+                        {
+                            "error": f"--out {args.out} is not empty; "
+                            "refusing to mix runs (delete it or pick a fresh dir)"
+                        }
+                    ),
+                    file=sys.stderr,
+                )
+                return 2
+            scores = contamination_scores(
+                rd.read_parquet(args.train),
+                rd.read_parquet(args.bench),
+                n=args.ngram,
+                threshold=args.threshold,
+            )
+            scores.write_parquet(args.out)
+            n_flagged = rd.read_parquet(args.out).count()
+            print(
+                json.dumps(
+                    {
+                        "flagged_docs": n_flagged,
+                        "ngram": args.ngram,
+                        "threshold": args.threshold,
                         "out_dir": args.out,
                     }
                 )

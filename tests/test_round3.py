@@ -696,3 +696,30 @@ def test_psi_stat_matches_formula():
     assert _psi_stat(base, obs) == pytest.approx(want, rel=1e-12)
     assert _psi_stat(base, obs) > 0.25
     assert _psi_stat({}, obs) == 0.0
+
+
+def test_cli_decontaminate(tmp_path):
+    from jsonschema_ray.cli import main
+
+    tr = tmp_path / "train"
+    be = tmp_path / "bench"
+    tr.mkdir()
+    be.mkdir()
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c d e", "x y z w v"]}
+    ).to_parquet(tr / "p.parquet")
+    pd.DataFrame({"doc_id": [9], "text": ["a b c q r"]}).to_parquet(
+        be / "p.parquet"
+    )
+    out = tmp_path / "scores"
+    rc = main(
+        ["decontaminate", "--train", str(tr), "--bench", str(be), "--out", str(out)]
+    )
+    assert rc == 0
+    got = pd.read_parquet(out)
+    assert got.doc_id.tolist() == [1] and got.n_hit.tolist() == [1]
+    # dirty --out refused
+    rc = main(
+        ["decontaminate", "--train", str(tr), "--bench", str(be), "--out", str(out)]
+    )
+    assert rc == 2
