@@ -25,7 +25,6 @@ from ..stages.checks import (
     referential_violations,
     ts_order_violations,
 )
-from ..stages.validate import VectorValidator
 
 # ---------------------------------------------------------------------------
 # transcripts: row-level violations (fail-fast parity) --------------------
@@ -41,14 +40,17 @@ def q_row_violations(sf_dir: str):
     """First-violation-per-row over the planted transcripts (hot path)."""
     from .validate_pipeline import TRANSCRIPT_ARROW_SCHEMA
 
+    from ..stages.validate import validate_rows_batch
+
     path = transcripts_path(sf_dir)
-    ds = _ds(path)
-    return ds.map_batches(
-        VectorValidator,
+    # stateless tasks + per-worker compiled-plan cache: same semantics as
+    # the VectorValidator actor pool (differential-tested twins), without
+    # the 1-2 s pool spin-up that dominates a second-scale invocation
+    return _ds(path).map_batches(
+        validate_rows_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
-        fn_constructor_kwargs=dict(
+        fn_kwargs=dict(
             schema_json=TRANSCRIPT_SCHEMA_JSON,
             arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
             mode="first",
@@ -1739,13 +1741,14 @@ def q_row_violations_all(sf_dir: str):
     the vector plan supports both modes."""
     from .validate_pipeline import TRANSCRIPT_ARROW_SCHEMA
 
+    from ..stages.validate import validate_rows_batch
+
     path = transcripts_path(sf_dir)
     return _ds(path).map_batches(
-        VectorValidator,
+        validate_rows_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
-        fn_constructor_kwargs=dict(
+        fn_kwargs=dict(
             schema_json=TRANSCRIPT_SCHEMA_JSON,
             arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
             mode="all",
