@@ -723,3 +723,52 @@ def test_cli_decontaminate(tmp_path):
         ["decontaminate", "--train", str(tr), "--bench", str(be), "--out", str(out)]
     )
     assert rc == 2
+
+
+def test_tokenizer_hypothesis_differential():
+    """Byte-buffer tokenizer == Python regex reference on arbitrary
+    unicode, including null rows, empty strings, sliced arrays (nonzero
+    Arrow offsets) and large_string columns."""
+    import re
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jsonschema_ray.stages.tokhash import batch_token_hashes, hash_words
+
+    tok_re = re.compile(r"[^\t\n\f\r ]+")
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                    ),
+                    max_size=30,
+                ),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        st.integers(min_value=0, max_value=3),
+        st.booleans(),
+    )
+    def check(texts, offset, large):
+        offset = min(offset, len(texts) - 1)
+        typ = pa.large_string() if large else pa.string()
+        arr = pa.array(texts, typ)[offset:]
+        th, sg, ntok = batch_token_hashes(arr)
+        want_tokens = [tok_re.findall(t or "") for t in texts[offset:]]
+        assert ntok.tolist() == [len(ts) for ts in want_tokens]
+        flat = [w for ts in want_tokens for w in ts]
+        assert sg.tolist() == [
+            i for i, ts in enumerate(want_tokens) for _ in ts
+        ]
+        if flat:
+            assert th.tolist() == hash_words(flat).tolist()
+
+    check()
