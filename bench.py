@@ -241,10 +241,18 @@ def big() -> None:
 
 
 def scaling_workload() -> None:
-    """Single measurement for --scaling: distributed slow-path JSON-document
-    validation (the compute-bound regime where parallelism, not fixed
-    pipeline overhead, dominates — the direct analogue of the reference's
-    per-document Validate)."""
+    """Single measurement for --scaling.
+
+    Default workload: distributed slow-path JSON-document validation (the
+    compute-bound regime where parallelism, not fixed pipeline overhead,
+    dominates — the direct analogue of the reference's per-document
+    Validate).  ``GRAFT_SCALING_WORKLOAD=transcripts`` instead measures
+    the HEADLINE metric itself — the fused full-check transcript pipeline
+    over a ``GRAFT_BIG_TURNS``-row table (north rule: turns validated/sec
+    at two cluster sizes)."""
+    if os.environ.get("GRAFT_SCALING_WORKLOAD") == "transcripts":
+        _scaling_workload_transcripts()
+        return
     _init_ray()
     import ray
     import ray.data as rd
@@ -284,6 +292,39 @@ def scaling_workload() -> None:
 
     run()  # untimed warm pass (worker import + compile cache)
     sec, n_viol = _timed(run)
+    print(
+        json.dumps(
+            {
+                "num_cpus": NUM_CPUS,
+                "n_docs": n,
+                "n_violations": n_viol,
+                "sec": round(sec, 3),
+                "docs_per_sec": round(n / sec),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def _scaling_workload_transcripts() -> None:
+    _init_ray()
+    import ray
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+    from jsonschema_ray.sources.transcripts import generate_transcripts
+
+    n_turns = int(os.environ.get("GRAFT_BIG_TURNS", "24000000"))
+    path = generate_transcripts(
+        f"/tmp/graft_transcripts/big-{n_turns}", n_turns=n_turns, seed=42
+    )
+    n = rd.read_parquet(path).count()  # warm page cache + worker pool
+
+    def run():
+        return transcript_violations(rd.read_parquet(path)).count()
+
+    run()  # untimed warm pass
+    sec, n_viol = _timed(run, reps=1)
     print(
         json.dumps(
             {
