@@ -21,6 +21,7 @@ partials and small violation aggregates materialize on the driver.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..sources.transcripts import TRANSCRIPT_SCHEMA_JSON
@@ -36,6 +37,7 @@ from ..stages.validate import VectorValidator
 __all__ = [
     "transcript_violations",
     "transcript_violations_fused",
+    "transcript_violations_fused1",
     "validate_transcripts",
     "quarantine_split",
 ]
@@ -78,6 +80,14 @@ def transcript_violations(
             and concurrency is None
         )
     if fused and tuple(checks) == ALL_CHECKS and conv_strategy == "bucket":
+        # single-exchange plan first (order-preserving range buckets from
+        # parquet footer stats); falls back to hash buckets + final sort
+        # when footer statistics are unavailable
+        one = transcript_violations_fused1(
+            ds, schema_json=schema_json, mode=mode, batch_size=batch_size
+        )
+        if one is not None:
+            return one
         return transcript_violations_fused(
             ds, schema_json=schema_json, mode=mode, batch_size=batch_size
         )
@@ -359,6 +369,238 @@ def transcript_violations_fused(
     if statics is not None:
         out = out.union(statics)
     return out.sort(["conv_id", "turn_idx", "keyword"])
+
+
+def _conv_range_bucketer(ds, nb: int):
+    """Order-preserving conv_id → bucket map from parquet footer
+    statistics, or None when unavailable.
+
+    The fused pipeline's exchange only needs whole-conversation
+    co-location; a HASH bucket gives that but scrambles order, forcing a
+    second all-to-all to sort the output.  A bucket map that is MONOTONE
+    in conv_id gives co-location AND leaves the bucket sequence globally
+    ordered, so sorting within each bucket yields fully sorted output —
+    one exchange instead of two.
+
+    Boundaries are EMPIRICAL quantiles of the per-row-group min/max
+    conv_id statistics (parquet footers — metadata only, no scan): row
+    groups hold ~equal row counts, so their min/max values sample the id
+    distribution regardless of id format or file ordering.  Arithmetic
+    interpolation of the [min, max] byte range is NOT used — decimal ids
+    occupy ~4% of each byte position, so interpolated boundaries land in
+    empty regions and collapse the bucket count.  Rows route via
+    ``np.searchsorted`` on fixed-width byte strings, which compares
+    exactly like Arrow's string sort (prefix truncation is weakly
+    monotone, so order is preserved; equal-prefix ids just share a
+    bucket).  ASCII ids assumed (the transcript input_hint); a non-ASCII
+    id fails the bytes cast loudly rather than mis-bucketing.  Sample
+    skew degrades balance, never correctness or order.  Null conv_id
+    rows get the last bucket, where the in-bucket sort places them last
+    (Ray sort parity)."""
+    try:
+        files = ds.input_files()
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        sample: list[str] = []
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().get_field_index("conv_id")
+            if idx < 0:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode(), mx.decode()
+                sample.append(mn)
+                sample.append(mx)
+        if not sample:
+            return None
+        enc = [s.encode() for s in sample]
+        if any(c > 127 for b in enc for c in b):
+            return None
+        enc.sort()
+        W = max(16, max(len(b) for b in enc))
+        m = len(enc)
+        bnds = np.unique(
+            np.array(
+                [enc[m * k // nb] for k in range(1, nb)], dtype=f"S{W}"
+            )
+        )
+
+        def bucket_of(conv_np: np.ndarray) -> np.ndarray:
+            isnull = np.array([c is None for c in conv_np])
+            safe = np.where(isnull, "", conv_np)
+            keys = np.asarray(safe, dtype=f"S{W}")  # non-ASCII raises: loud
+            b = np.searchsorted(bnds, keys, side="right").astype(np.int32)
+            b[isnull] = len(bnds) + 1  # nulls last, matching Ray sort
+            return b
+
+        return bucket_of
+    except Exception:
+        return None
+
+
+def transcript_violations_fused1(
+    ds,
+    schema_json: str = TRANSCRIPT_SCHEMA_JSON,
+    mode: str = "first",
+    batch_size: int = 65536,
+    num_buckets: int | None = None,
+):
+    """Single-EXCHANGE twin of :func:`transcript_violations_fused`.
+
+    The two-exchange fused plan hash-buckets the tagged stream (all-to-all
+    #1) and then sorts the violations (all-to-all #2).  Here the bucket
+    map is :func:`_conv_range_bucketer` — monotone in conv_id — so bucket
+    order IS global order: each bucket runs the conversation checks and
+    emits its violations fully sorted by (conv_id, turn_idx, keyword),
+    and the concatenated bucket outputs need NO final sort.  Per-operator
+    stats showed each all-to-all carries seconds of fixed latency at
+    sandbox scale and half the moved bytes at any scale, so this is the
+    default route whenever footer statistics allow it; callers fall back
+    to the hash+sort plan otherwise (returns None here)."""
+    import ray.data as rd
+
+    from ..core import parse as _parse
+    from ..stages.bucketing import pick_num_buckets
+    from ..stages.checks import (
+        EMPTY_VIOLATIONS,
+        VIOLATION_PA_SCHEMA,
+        _run_bucket,
+    )
+    from ..stages.validate import validate_rows_batch
+    from ..vector.plan import UnsupportedPlanError, compile_plan
+
+    try:
+        sch = ds.schema()
+        arrow_schema = pa.schema(list(zip(sch.names, sch.types)))
+    except Exception:
+        arrow_schema = TRANSCRIPT_ARROW_SCHEMA
+    try:
+        plan = compile_plan(_parse(schema_json), arrow_schema)
+    except UnsupportedPlanError:
+        return None
+    if plan is None:
+        return None
+
+    nb = pick_num_buckets(ds, num_buckets)
+    bucket_of = _conv_range_bucketer(ds, nb)
+    if bucket_of is None:
+        return None
+
+    statics = None
+    if plan.static_violations:
+        rows = sorted(
+            (
+                {"conv_id": "", "turn_idx": -1, "keyword": kw, "message": msg}
+                for _col, kw, msg in plan.static_violations
+            ),
+            key=lambda r: (r["keyword"], r["message"]),
+        )
+        statics = rd.from_arrow(pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA))
+
+    def fused_batch(batch: pa.Table) -> pa.Table:
+        viol = validate_rows_batch(
+            batch,
+            schema_json=schema_json,
+            arrow_schema=arrow_schema,
+            mode=mode,
+            with_referential=True,
+        )
+        nv = viol.num_rows
+        n = batch.num_rows
+        viol_t = pa.table(
+            {
+                "conv_id": viol["conv_id"].cast(pa.string()),
+                "turn_idx": viol["turn_idx"].cast(pa.int32()),
+                "keyword": viol["keyword"],
+                "message": viol["message"],
+                "ts": pa.nulls(nv, pa.timestamp("us")),
+                "_tag": pa.array(np.full(nv, 1, dtype=np.int8)),
+            }
+        )
+        conv_t = pa.table(
+            {
+                "conv_id": batch["conv_id"].cast(pa.string()),
+                "turn_idx": batch["turn_idx"].cast(pa.int32()),
+                "keyword": pa.nulls(n, pa.string()),
+                "message": pa.nulls(n, pa.string()),
+                "ts": batch["ts"].cast(pa.timestamp("us")),
+                "_tag": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+        return pa.concat_tables([viol_t, conv_t])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("_b", pa.array(bucket_of(conv), pa.int32()))
+
+    def run_sorted_bucket(df) -> pa.Table:
+        tag = df["_tag"].to_numpy()
+        parts = []
+        viol = df[tag == 1]
+        if len(viol):
+            parts.append(
+                viol[["conv_id", "turn_idx", "keyword", "message"]]
+            )
+        conv = df[tag == 0]
+        if len(conv):
+            cc = _run_bucket(
+                conv[["conv_id", "turn_idx", "ts"]],
+                ("unique", "contiguity", "order"),
+            )
+            if cc.num_rows:
+                parts.append(cc.to_pandas())
+        if not parts:
+            return EMPTY_VIOLATIONS
+        import pandas as pd
+
+        allp = pd.concat(parts, ignore_index=True)
+        # the bucket sequence is conv-ordered (monotone bucketer), so a
+        # full in-bucket sort yields GLOBALLY sorted output — the final
+        # all-to-all sort of the hash plan disappears
+        allp = allp.sort_values(
+            ["conv_id", "turn_idx", "keyword"], kind="stable", na_position="last"
+        )
+        return pa.table(
+            {
+                "conv_id": pa.array(allp["conv_id"], pa.string()),
+                "turn_idx": pa.array(allp["turn_idx"].to_numpy(), pa.int32()),
+                "keyword": pa.array(allp["keyword"], pa.string()),
+                "message": pa.array(allp["message"], pa.string()),
+            }
+        )
+
+    empty = VIOLATION_PA_SCHEMA.empty_table()
+
+    def stamp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        return (
+            t
+            if t.schema == VIOLATION_PA_SCHEMA
+            else t.select(VIOLATION_PA_SCHEMA.names).cast(VIOLATION_PA_SCHEMA)
+        )
+
+    out = (
+        ds.map_batches(fused_batch, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: run_sorted_bucket(g.drop(columns=["_b"])),
+            batch_format="pandas",
+        )
+        .map_batches(stamp, batch_format="pyarrow")
+    )
+    if statics is not None:
+        # '' sorts before every real conv id, so statics lead the stream
+        out = statics.union(out)
+    return out
 
 
 def validate_transcripts(

@@ -772,3 +772,39 @@ def test_tokenizer_hypothesis_differential():
             assert th.tolist() == hash_words(flat).tolist()
 
     check()
+
+
+def test_fused1_single_exchange_equals_default_and_is_sorted():
+    """The single-exchange plan (order-preserving range buckets, no final
+    sort) must produce the same violation MULTISET as the two-scan plan
+    AND already be globally ordered by (conv_id, turn_idx, keyword)."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import (
+        transcript_violations,
+        transcript_violations_fused1,
+    )
+    from jsonschema_ray.sources.transcripts import transcripts_path
+
+    path = transcripts_path(SF01)
+    one = transcript_violations_fused1(rd.read_parquet(path))
+    assert one is not None, "footer stats should be available for parquet"
+    got = one.to_pandas()
+
+    # globally ordered as produced (no sort applied)
+    keys = list(
+        zip(
+            got.conv_id.fillna("￿"),
+            got.turn_idx.fillna(1 << 30),
+            got.keyword.fillna("￿"),
+        )
+    )
+    assert keys == sorted(keys)
+
+    want = transcript_violations(
+        rd.read_parquet(path), fused=False
+    ).to_pandas()
+    cols = list(want.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
