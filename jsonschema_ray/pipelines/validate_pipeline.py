@@ -390,13 +390,12 @@ def _conv_range_bucketer(ds, nb: int):
     occupy ~4% of each byte position, so interpolated boundaries land in
     empty regions and collapse the bucket count.  Rows route via
     ``np.searchsorted`` on fixed-width byte strings, which compares
-    exactly like Arrow's string sort (prefix truncation is weakly
-    monotone, so order is preserved; equal-prefix ids just share a
-    bucket).  ASCII ids assumed (the transcript input_hint); a non-ASCII
-    id fails the bytes cast loudly rather than mis-bucketing.  Sample
-    skew degrades balance, never correctness or order.  Null conv_id
-    rows get the last bucket, where the in-bucket sort places them last
-    (Ray sort parity)."""
+    exactly like Arrow's string sort (UTF-8 preserves codepoint order,
+    so this holds for all unicode; prefix truncation is weakly monotone,
+    equal-prefix ids just share a bucket).  Sample skew degrades
+    balance, never correctness or order.  Null conv_id rows get the
+    last bucket, where the in-bucket sort places them last (Ray sort
+    parity)."""
     try:
         files = ds.input_files()
         if not files:
@@ -420,10 +419,7 @@ def _conv_range_bucketer(ds, nb: int):
                 sample.append(mx)
         if not sample:
             return None
-        enc = [s.encode() for s in sample]
-        if any(c > 127 for b in enc for c in b):
-            return None
-        enc.sort()
+        enc = sorted(s.encode() for s in sample)
         W = max(16, max(len(b) for b in enc))
         m = len(enc)
         bnds = np.unique(
@@ -435,7 +431,12 @@ def _conv_range_bucketer(ds, nb: int):
         def bucket_of(conv_np: np.ndarray) -> np.ndarray:
             isnull = np.array([c is None for c in conv_np])
             safe = np.where(isnull, "", conv_np)
-            keys = np.asarray(safe, dtype=f"S{W}")  # non-ASCII raises: loud
+            # UTF-8 bytes compare exactly like Arrow's string sort for ALL
+            # unicode (UTF-8 preserves codepoint order); S{W} truncation is
+            # weakly monotone, so routing stays order-preserving
+            keys = np.char.encode(np.asarray(safe, dtype=str), "utf-8").astype(
+                f"S{W}"
+            )
             b = np.searchsorted(bnds, keys, side="right").astype(np.int32)
             b[isnull] = len(bnds) + 1  # nulls last, matching Ray sort
             return b

@@ -808,3 +808,34 @@ def test_fused1_single_exchange_equals_default_and_is_sorted():
     a = got[cols].sort_values(cols).reset_index(drop=True)
     b = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_conv_range_bucketer_monotone_and_unicode(tmp_path):
+    """Bucket assignment is monotone in conv_id (byte order), handles
+    unicode ids and nulls, and balances across the footer-stat sample."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import _conv_range_bucketer
+
+    ids = sorted(
+        [f"conv-{i:08d}" for i in range(0, 900, 7)]
+        + ["conv-üü" + str(i) for i in range(5)]
+    )
+    for k in range(4):
+        chunk = ids[k * len(ids) // 4 : (k + 1) * len(ids) // 4]
+        pq.write_table(
+            pa.table({"conv_id": chunk, "x": list(range(len(chunk)))}),
+            tmp_path / f"p{k}.parquet",
+        )
+    ds = rd.read_parquet(str(tmp_path))
+    fn = _conv_range_bucketer(ds, 8)
+    assert fn is not None
+    arr = np.array(ids + [None], dtype=object)
+    b = fn(arr)
+    vals = b[:-1]
+    # monotone w.r.t. sorted ids; null strictly last
+    assert (np.diff(vals) >= 0).all()
+    assert b[-1] >= vals.max()
+    assert len(np.unique(vals)) >= 4  # balanced enough to parallelize
