@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_sequences": q.q_pack_sequences,
         "q_redact": q.q_redact,
         "q_tfidf": q.q_tfidf,
+        "q_bm25": q.q_bm25,
         # rows-only (the stub embedder's random projection matrix is not
         # SQL-expressible; pytest holds its oracle)
         "q_embed_dedup": q.q_embed_dedup,
@@ -185,4 +186,5 @@ def oracle_sql() -> dict[str, str]:
         "q_pack_sequences": q.PACK_SEQUENCES_SQL,
         "q_redact": q.REDACT_SQL,
         "q_tfidf": q.TFIDF_SQL,
+        "q_bm25": q.BM25_SQL,
     }

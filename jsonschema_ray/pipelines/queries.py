@@ -2223,3 +2223,34 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          ORDER BY tfidf DESC, term) AS rn FROM sc)
 SELECT doc_id, term, tf, df, tfidf FROM r WHERE rn <= 5
 """
+
+
+def q_bm25(sf_dir: str):
+    """Okapi BM25 top-10 retrieval for a fixed query over the documents
+    table — stages/tfidf.py bm25_topk; query-term filtering happens at
+    the scan so the exchanges carry only matching (doc, term) rows."""
+    import ray.data as rd
+
+    from ..stages.tfidf import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, query="hash join dup", k=10)
+
+
+BM25_SQL = r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+       WHERE w IN ('hash', 'join', 'dup') GROUP BY doc_id, w),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (SELECT f.doc_id,
+         SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw,
+         COUNT(*) AS nh
+       FROM tf f JOIN df d USING (term) JOIN dl l USING (doc_id), stats s
+       GROUP BY f.doc_id)
+SELECT doc_id, ROUND(raw, 6) AS score, CAST(nh AS BIGINT) AS n_hit_terms
+FROM sc ORDER BY ROUND(raw, 6) DESC, doc_id LIMIT 10
+"""

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["tfidf_top_terms"]
+__all__ = ["tfidf_top_terms", "bm25_topk"]
 
 _SCH_OUT = pa.schema(
     [
@@ -111,3 +111,149 @@ def tfidf_top_terms(ds, k: int = 5, n_docs: int | None = None, text_col="text", 
 
     pruned = with_df.map_batches(topk, batch_format="pandas")
     return bucketed_map_groups(pruned, ["doc_id"], topk, out_schema=_SCH_OUT)
+
+
+_SCH_BM25 = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+        ("n_hit_terms", pa.int64()),
+    ]
+)
+
+
+def bm25_topk(
+    ds,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+    text_col="text",
+    id_col="doc_id",
+):
+    """→ Dataset (doc_id, score, n_hit_terms): top-``k`` documents for a
+    query string under Okapi BM25 (idf = ln(1 + (N − df + ½)/(df + ½))).
+
+    Scale shape: per-batch (doc, term) rows are filtered to the QUERY's
+    term hashes immediately — only matching rows (a few per doc) ever
+    leave the scan, so both exchanges are tiny regardless of corpus
+    size.  Document length and corpus stats come from the same token
+    kernel; ranking uses ``round(score, 6)`` with a doc_id tie-break so
+    the SQL oracle reproduces the row set exactly."""
+    from .bucketing import bucketed_map_groups, col_np, group_bounds
+    from .tokhash import batch_token_hashes, hash_words
+
+    q_terms = sorted(set(query.split()))
+    if not q_terms:
+        raise ValueError("empty query")
+    q_hashes = np.sort(hash_words(q_terms))
+
+    # corpus stats: N and average doc length (one cheap numeric pass)
+    def len_partial(t: pa.Table) -> pa.Table:
+        _h, _s, ntok = batch_token_hashes(t[text_col])
+        return pa.table(
+            {
+                "_n": pa.array([t.num_rows], pa.int64()),
+                "_tok": pa.array([int(ntok.sum())], pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(len_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    N = int(totals["_n"]) if n_docs is None else int(n_docs)
+    avgdl = float(totals["_tok"]) / max(N, 1)
+
+    _SCH_TF = pa.schema(
+        [
+            ("qh", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+        ]
+    )
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        np.seterr(over="ignore")
+        ids = col_np(t, id_col).astype(np.int64)
+        th, sg, ntok = batch_token_hashes(t[text_col])
+        if len(th) == 0:
+            return _SCH_TF.empty_table()
+        hit = np.isin(th, q_hashes)  # query-term filter BEFORE anything moves
+        if not hit.any():
+            return _SCH_TF.empty_table()
+        th, sg = th[hit], sg[hit]
+        key = th ^ (sg.astype(np.uint64) * _SEG_MIX)
+        order = np.argsort(key)
+        gs, ge = group_bounds(key[order])
+        rep = order[gs]
+        return pa.table(
+            {
+                "qh": pa.array(th[rep].astype(np.int64)),
+                "doc_id": pa.array(ids[sg[rep]]),
+                "tf": pa.array((ge - gs).astype(np.int64)),
+                "dl": pa.array(ntok[sg[rep]].astype(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        qh = col_np(t, "qh")
+        doc = col_np(t, "doc_id")
+        tf = col_np(t, "tf").astype(np.float64)
+        dl = col_np(t, "dl").astype(np.float64)
+        order = np.argsort(qh, kind="stable")
+        qh, doc, tf, dl = qh[order], doc[order], tf[order], dl[order]
+        starts, ends = group_bounds(qh)
+        df = (ends - starts).astype(np.float64)
+        idf = np.log1p((N - df + 0.5) / (df + 0.5))
+        idf_row = np.repeat(idf, (ends - starts).astype(np.int64))
+        s = idf_row * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc.astype(np.int64)),
+                "_s": pa.array(s),
+                "_c": pa.array(np.ones(len(doc), dtype=np.int64)),
+            }
+        )
+
+    scored = bucketed_map_groups(
+        rows,
+        ["qh"],
+        score_bucket,
+        out_schema=pa.schema(
+            [("doc_id", pa.int64()), ("_s", pa.float64()), ("_c", pa.int64())]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        doc = col_np(t, "doc_id")
+        s = col_np(t, "_s")
+        c = col_np(t, "_c")
+        order = np.argsort(doc, kind="stable")
+        doc, s, c = doc[order], s[order], c[order]
+        starts, _e = group_bounds(doc)
+        tot = np.round(np.add.reduceat(s, starts), 6)
+        cnt = np.add.reduceat(c, starts)
+        docs = doc[starts]
+        sel = np.lexsort((docs, -tot))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[sel].astype(np.int64)),
+                "score": pa.array(tot[sel]),
+                "n_hit_terms": pa.array(cnt[sel].astype(np.int64)),
+            }
+        )
+
+    # per-batch lossless prune (global top-k ⊆ per-batch top-k per doc set
+    # only after per-doc sums are complete — so sum in ONE doc-keyed
+    # exchange, then a driver-free global head via sort+limit
+    summed = bucketed_map_groups(
+        scored, ["doc_id"], topk, out_schema=_SCH_BM25, batch_format="pyarrow"
+    )
+    return summed.sort(["score", "doc_id"], descending=[True, False]).limit(k)

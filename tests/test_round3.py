@@ -839,3 +839,55 @@ def test_conv_range_bucketer_monotone_and_unicode(tmp_path):
     assert (np.diff(vals) >= 0).all()
     assert b[-1] >= vals.max()
     assert len(np.unique(vals)) >= 4  # balanced enough to parallelize
+
+
+def test_bm25_matches_bruteforce():
+    """Distributed BM25 == Python brute force (per-term idf, length
+    normalization, rounded-score ranking with doc_id tie-break)."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from jsonschema_ray.stages.tfidf import bm25_topk
+
+    texts = [
+        "hash join hash join build probe",
+        "join only once here",
+        "hash hash hash hash hash",
+        "nothing relevant at all",
+        "dup hash",
+        "",
+    ]
+    n = len(texts)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(n)), "text": texts})
+    ).repartition(3)
+    query, k1, b = "hash dup", 1.2, 0.75
+
+    toks = [t.split() for t in texts]
+    avgdl = sum(len(t) for t in toks) / n
+    tfs = [Counter(t) for t in toks]
+    dfs = Counter(w for c in tfs for w in set(query.split()) if c[w] > 0)
+    expect = []
+    for i, c in enumerate(tfs):
+        s, hits = 0.0, 0
+        for w in set(query.split()):
+            if c[w] == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - dfs[w] + 0.5) / (dfs[w] + 0.5))
+            s += idf * c[w] * (k1 + 1) / (c[w] + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        if hits:
+            expect.append((round(s, 6), i, hits))
+    expect.sort(key=lambda x: (-x[0], x[1]))
+
+    got = bm25_topk(ds, query, k=4).to_pandas()
+    got_rows = [
+        (float(r.score), int(r.doc_id), int(r.n_hit_terms)) for r in got.itertuples()
+    ]
+    want_rows = [(s, i, h) for s, i, h in expect[:4]]
+    assert got_rows == [(pytest.approx(s, abs=1e-6), i, h) for s, i, h in want_rows] or [
+        (s, i, h) for s, i, h in got_rows
+    ] == want_rows
