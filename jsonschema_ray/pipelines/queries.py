@@ -317,27 +317,32 @@ def q_segment_revenue(sf_dir: str):
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # broadcast the dim SORTED: the per-batch lookup is a vectorized
+    # searchsorted + dictionary gather (int codes), no per-row dict .map
+    keys = cust["c_custkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    segs = cust["c_mktsegment"].to_numpy(object)[order]
+    uniq, codes = np.unique(segs, return_inverse=True)
+    lookup_ref = ray.put((keys[order], codes.astype(np.int32), list(uniq)))
 
-    class SegmentJoin:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            seg = pd.Series(t["o_custkey"].to_numpy()).map(self.lookup)
-            return t.append_column(
-                "c_mktsegment", pa.array(seg.astype(object), pa.string())
-            )
+    def seg_join(t: pa.Table, ref) -> pa.Table:
+        skeys, scodes, names = ray.get(ref)  # plasma-cached, zero-copy arrays
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(skeys, ck)
+        idx_c = np.minimum(idx, len(skeys) - 1)
+        hit = skeys[idx_c] == ck  # unmatched keys → null segment
+        code = np.where(hit, scodes[idx_c], 0).astype(np.int32)
+        seg = pa.DictionaryArray.from_arrays(
+            pa.array(code, mask=~hit), pa.array(names, pa.string())
+        ).cast(pa.string())
+        return t.append_column("c_mktsegment", seg)
 
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     out = (
         ds.map_batches(
-            SegmentJoin,
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-            fn_constructor_kwargs=dict(ref=lookup_ref),
+            seg_join, batch_format="pyarrow", fn_kwargs=dict(ref=lookup_ref)
         )
         .groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice", alias_name="revenue"))

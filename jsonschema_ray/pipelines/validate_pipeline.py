@@ -74,22 +74,36 @@ def transcript_violations(
     (BASELINE.md, single-scan fusion A/B).  ``fused=False`` forces the
     two-scan plan (the A/B baseline)."""
     if fused is None:
-        fused = (
-            tuple(checks) == ALL_CHECKS
-            and conv_strategy == "bucket"
-            and concurrency is None
+        fused = tuple(checks) == ALL_CHECKS and conv_strategy == "bucket"
+    elif fused and not (tuple(checks) == ALL_CHECKS and conv_strategy == "bucket"):
+        # explicit fused=True with parameters the fused plans cannot
+        # express — say so instead of silently running the two-scan plan
+        import warnings
+
+        warnings.warn(
+            "fused=True supports only the full check set with the bucket "
+            "conv strategy; falling back to the two-scan plan",
+            stacklevel=2,
         )
     if fused and tuple(checks) == ALL_CHECKS and conv_strategy == "bucket":
         # single-exchange plan first (order-preserving range buckets from
         # parquet footer stats); falls back to hash buckets + final sort
         # when footer statistics are unavailable
         one = transcript_violations_fused1(
-            ds, schema_json=schema_json, mode=mode, batch_size=batch_size
+            ds,
+            schema_json=schema_json,
+            mode=mode,
+            batch_size=batch_size,
+            concurrency=concurrency,
         )
         if one is not None:
             return one
         return transcript_violations_fused(
-            ds, schema_json=schema_json, mode=mode, batch_size=batch_size
+            ds,
+            schema_json=schema_json,
+            mode=mode,
+            batch_size=batch_size,
+            concurrency=concurrency,
         )
     parts = []
     fold_referential = "rows" in checks and "referential" in checks
@@ -218,6 +232,7 @@ def transcript_violations_fused(
     mode: str = "first",
     batch_size: int = 65536,
     num_buckets: int | None = None,
+    concurrency: int | None = None,
 ):
     """Single-scan twin of :func:`transcript_violations` (full check set,
     bucket strategy): the default plan's row branch and conv-check branch
@@ -357,7 +372,12 @@ def transcript_violations_fused(
         )
 
     out = (
-        ds.map_batches(fused_batch, batch_format="pyarrow", batch_size=batch_size)
+        ds.map_batches(
+            fused_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(
@@ -402,12 +422,23 @@ def _conv_range_bucketer(ds, nb: int):
             return None
         import pyarrow.parquet as pq
 
-        sample: list[str] = []
-        for f in files:
+        # Boundaries are quantiles of a SAMPLE — any subset of row groups
+        # gives valid (order-preserving) boundaries, only balance varies.
+        # So cap the footers read: at ≥10⁵ input files a serial
+        # every-footer loop would be the startup bottleneck.  Evenly
+        # spaced files keep coverage across the id range whatever the
+        # file ordering; a thread pool overlaps the metadata IO.
+        MAX_FILES = 64
+        if len(files) > MAX_FILES:
+            pick = np.linspace(0, len(files) - 1, MAX_FILES).astype(int)
+            files = [files[i] for i in np.unique(pick)]
+
+        def file_stats(f: str) -> list[str] | None:
             md = pq.read_metadata(f)
             idx = md.schema.to_arrow_schema().get_field_index("conv_id")
             if idx < 0:
                 return None
+            out: list[str] = []
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
@@ -415,8 +446,20 @@ def _conv_range_bucketer(ds, nb: int):
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
                     mn, mx = mn.decode(), mx.decode()
-                sample.append(mn)
-                sample.append(mx)
+                out.append(mn)
+                out.append(mx)
+            return out
+
+        if len(files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+                per_file = list(ex.map(file_stats, files))
+        else:
+            per_file = [file_stats(files[0])]
+        if any(p is None for p in per_file):
+            return None
+        sample: list[str] = [s for p in per_file for s in p]
         if not sample:
             return None
         enc = sorted(s.encode() for s in sample)
@@ -452,6 +495,7 @@ def transcript_violations_fused1(
     mode: str = "first",
     batch_size: int = 65536,
     num_buckets: int | None = None,
+    concurrency: int | None = None,
 ):
     """Single-EXCHANGE twin of :func:`transcript_violations_fused`.
 
@@ -589,7 +633,12 @@ def transcript_violations_fused1(
         )
 
     out = (
-        ds.map_batches(fused_batch, batch_format="pyarrow", batch_size=batch_size)
+        ds.map_batches(
+            fused_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(

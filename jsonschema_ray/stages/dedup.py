@@ -80,7 +80,11 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
 
     def partials(t: pa.Table) -> pa.Table:
         if key == "hash":
-            k = _hash_str_array(t[text_col].to_pylist()).astype(np.int64)
+            # byte-buffer content hash (stages/tokhash.py) — no Python str
+            # per document in the hot curation path
+            from .tokhash import hash_strings
+
+            k = hash_strings(t[text_col]).view(np.int64)
             df = pd.DataFrame(
                 {"content_key": k, id_col: t[id_col].to_numpy(zero_copy_only=False)}
             )
@@ -614,35 +618,65 @@ def minhash_lsh_pairs(
 
 # -- SimHash ----------------------------------------------------------------
 
+_SIMHASH_CHUNK_TOKENS = 2_000_000  # tokens → ≤128 MB of uint8 bits per chunk
+
+
+def _simhash_kernel(
+    th: np.ndarray, ntok: np.ndarray, chunk_tokens: int | None = None
+) -> np.ndarray:
+    """→ uint64[n_docs] simhash from segment-sorted token hashes.
+
+    Token-chunked bit count: the (chunk × 64) uint8 bit matrix stays
+    bounded however long the documents are (a single full-batch int32
+    matrix would be ~260 B/token — >1 GB at 5M tokens, the round-4 ADVICE
+    memory finding); ``reduceat`` accumulates straight into int64 via its
+    dtype arg.  Chunks split ON document starts so no group straddles
+    one; a single over-chunk document degrades to one doc per chunk."""
+    n = len(ntok)
+    out = np.zeros(n, dtype=np.uint64)
+    if not len(th):
+        return out
+    chunk = chunk_tokens or _SIMHASH_CHUNK_TOKENS
+    nonempty = ntok > 0
+    starts = np.concatenate([[0], np.cumsum(ntok)])[:-1][nonempty]
+    nd = int(nonempty.sum())
+    ones = np.empty((nd, 64), dtype=np.int64)
+    lo_doc = 0
+    while lo_doc < nd:
+        hi_doc = int(np.searchsorted(starts, starts[lo_doc] + chunk, side="left"))
+        hi_doc = max(hi_doc, lo_doc + 1)
+        lo_tok = int(starts[lo_doc])
+        hi_tok = int(starts[hi_doc]) if hi_doc < nd else len(th)
+        bits = np.unpackbits(
+            th[lo_tok:hi_tok, None].view(np.uint8), axis=1, bitorder="little"
+        )
+        ones[lo_doc:hi_doc] = np.add.reduceat(
+            bits, starts[lo_doc:hi_doc] - lo_tok, axis=0, dtype=np.int64
+        )
+        lo_doc = hi_doc
+    cnt = ntok[nonempty][:, None].astype(np.int64)
+    bitvals = (2 * ones - cnt) > 0  # (+1 per set bit, -1 per clear)
+    packed = np.packbits(bitvals, axis=1, bitorder="little")
+    out[nonempty] = packed.reshape(-1, 8).copy().view(np.uint64).ravel()
+    return out
+
 
 def simhash64(ds, text_col="text", id_col="doc_id"):
     """→ Dataset (doc_id, simhash int64): 64-bit sign-sum over word hashes.
 
     Tokens come from the zero-copy byte-buffer kernel (stages/tokhash.py);
-    the bit-count is ONE ``unpackbits`` + ONE segment ``add.reduceat`` over
-    a (tokens × 64) int32 matrix instead of 64 shift/mask/reduce passes.
+    the bit-count is ``unpackbits`` + segment ``add.reduceat`` over a
+    (tokens × 64) uint8 bit matrix, processed in document-aligned token
+    chunks so the matrix stays ≤128 MB regardless of batch token count.
     The token hash (byte polynomial + splitmix64 mix) is SQL-replicable,
     so simhash values carry a full DuckDB value oracle
     (queries.SIMHASH_SQL)."""
     from .tokhash import batch_token_hashes
 
     def compute(t: pa.Table) -> pa.Table:
-        n = t.num_rows
         ids = t[id_col].to_numpy(zero_copy_only=False)
         th, _sg, ntok = batch_token_hashes(t[text_col])
-        out = np.zeros(n, dtype=np.uint64)
-        if len(th):
-            # (n_tok, 64) bit matrix, bit b in column b (little-endian)
-            bits = np.unpackbits(
-                th[:, None].view(np.uint8), axis=1, bitorder="little"
-            ).astype(np.int32)
-            nonempty = ntok > 0
-            starts = np.concatenate([[0], np.cumsum(ntok)])[:-1][nonempty]
-            ones = np.add.reduceat(bits, starts, axis=0)
-            cnt = ntok[nonempty][:, None].astype(np.int32)
-            bitvals = (2 * ones - cnt) > 0  # (+1 per set bit, -1 per clear)
-            packed = np.packbits(bitvals, axis=1, bitorder="little")
-            out[nonempty] = packed.reshape(-1, 8).copy().view(np.uint64).ravel()
+        out = _simhash_kernel(th, ntok)
         return pa.table(
             {
                 "doc_id": pa.array(ids.astype(np.int64)),

@@ -51,31 +51,46 @@ def attach_payload(ds, text_col="text", id_col="doc_id"):
     return ds.map_batches(wrap, batch_format="pyarrow")
 
 
+def _try_pillow():
+    try:
+        import PIL.Image as _Image  # noqa: N811
+
+        return _Image
+    except ImportError:
+        return None
+
+
 class DecodeStage:
     """Actor-pool decode: codec state initialised once per actor.
 
     ``mode="fake"`` (default): deterministic stand-in features derived from
-    the payload bytes — real plumbing, fake codec.
-    ``mode="strict"``: requires a real codec; raises ``NotImplementedError``
-    in this container (no image/audio libraries are installed).
+    the payload bytes — real plumbing, fake codec; the SQL oracle
+    recomputes these from the bytes, so the fake mode stays the
+    oracle-parity default.
+    ``mode="auto"``: REAL decode via Pillow when importable (width/height
+    from the decoded image; checksum stays the byte-derived formula, which
+    is codec-independent), silent fall back to the fake codec otherwise.
+    ``mode="pillow"``/``"strict"``: require the real codec; raise
+    ``NotImplementedError`` when Pillow is absent (as in this container).
     """
 
     def __init__(self, mode: str = "fake", id_col: str = "doc_id") -> None:
         self.id_col = id_col
         self.mode = mode
-        self.codec = None
-        if mode == "strict":
-            try:
-                import PIL.Image  # noqa: F401  (not installed here)
-
-                self.codec = "pillow"
-            except ImportError:
+        self.codec = None  # Image module, loaded once per actor
+        if mode in ("strict", "pillow"):
+            self.codec = _try_pillow()
+            if self.codec is None:
                 raise NotImplementedError(
                     "real image decode needs Pillow/libvips; this container "
                     "ships neither — use mode='fake' for plumbing tests"
                 )
+        elif mode == "auto":
+            self.codec = _try_pillow()
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import io
+
         payloads = t["payload"].to_pylist()
         width = np.zeros(len(payloads), dtype=np.int32)
         height = np.zeros(len(payloads), dtype=np.int32)
@@ -83,10 +98,17 @@ class DecodeStage:
         for i, p in enumerate(payloads):
             if not p:
                 continue
-            # FAKE DECODE: dimensions and checksum derived deterministically
-            # from the bytes (stand-in for codec output).
-            width[i] = 16 + (p[0] % 64) * 8
-            height[i] = 16 + (p[-1] % 64) * 8
+            if self.codec is not None:
+                # REAL DECODE: header-only open — Pillow reads dimensions
+                # without decoding pixel data
+                with self.codec.open(io.BytesIO(p)) as im:
+                    width[i], height[i] = im.size
+            else:
+                # FAKE DECODE: dimensions derived deterministically from
+                # the bytes (stand-in for codec output).
+                width[i] = 16 + (p[0] % 64) * 8
+                height[i] = 16 + (p[-1] % 64) * 8
+            # byte-derived, codec-independent
             checksum[i] = int(np.frombuffer(p[:8].ljust(8, b"\0"), dtype="<u8")[0]) & 0x7FFFFFFFFFFFFFFF
         return pa.table(
             {
@@ -116,20 +138,40 @@ def decode_features(ds, batch_size: int = 64, concurrency=(1, 4), mode: str = "f
 class ResizeStage:
     """Actor-pool resize: target geometry fixed per actor.
 
-    FAKE CODEC (gated like :class:`DecodeStage`): output payload is a
-    deterministic transform of the input bytes sized to the target area —
-    real binary-in/binary-out plumbing, so batch sizing, zero-copy Arrow
-    binary handling and output schema are all exercised."""
+    ``mode="fake"`` (default, gated like :class:`DecodeStage`): output
+    payload is a deterministic transform of the input bytes sized to the
+    target area — real binary-in/binary-out plumbing, so batch sizing,
+    zero-copy Arrow binary handling and output schema are all exercised.
+    ``mode="auto"``/``"pillow"``: REAL resize — decode via Pillow, LANCZOS
+    resample to (width, height), re-encode PNG (``auto`` falls back to the
+    fake codec when Pillow is absent; ``pillow`` raises)."""
 
-    def __init__(self, width: int = 224, height: int = 224, id_col: str = "doc_id"):
+    def __init__(self, width: int = 224, height: int = 224, id_col: str = "doc_id", mode: str = "fake"):
         self.w, self.h, self.id_col = width, height, id_col
+        self.codec = None
+        if mode in ("pillow", "strict"):
+            self.codec = _try_pillow()
+            if self.codec is None:
+                raise NotImplementedError(
+                    "real image resize needs Pillow; use mode='fake'"
+                )
+        elif mode == "auto":
+            self.codec = _try_pillow()
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import io
+
         target = self.w * self.h // 1024 + 8  # fake: bytes proportional to area
         out = []
         for p in t["payload"].to_pylist():
             if not p:
                 out.append(b"")
+                continue
+            if self.codec is not None:
+                with self.codec.open(io.BytesIO(p)) as im:
+                    buf = io.BytesIO()
+                    im.resize((self.w, self.h)).save(buf, format="PNG")
+                out.append(buf.getvalue())
                 continue
             reps = target // len(p) + 1
             out.append((p * reps)[:target])
@@ -143,14 +185,14 @@ class ResizeStage:
         )
 
 
-def resize(ds, width: int = 224, height: int = 224, batch_size: int = 64, concurrency=(1, 4)):
+def resize(ds, width: int = 224, height: int = 224, batch_size: int = 64, concurrency=(1, 4), mode: str = "fake"):
     return ds.map_batches(
         ResizeStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs=dict(width=width, height=height),
+        fn_constructor_kwargs=dict(width=width, height=height, mode=mode),
     )
 
 

@@ -337,7 +337,10 @@ def redact(ds, patterns=None, replacement="[PII]", text_col="text", id_col="doc_
     leftmost non-overlapping semantics).
 
     One vectorized ``map_batches`` pass, no shuffle: each pattern is one
-    ``replace_substring_regex`` kernel over the Arrow string column."""
+    ``replace_substring_regex`` kernel over the Arrow string column.  The
+    text column is rewritten IN PLACE — every other column of the input
+    passes through untouched (an in-pipeline transform must not project
+    away its neighbors)."""
     pats = dict(patterns) if patterns is not None else dict(PII_PATTERNS)
 
     def rewrite(t: pa.Table) -> pa.Table:
@@ -346,6 +349,7 @@ def redact(ds, patterns=None, replacement="[PII]", text_col="text", id_col="doc_
             col = pc.replace_substring_regex(
                 col, pattern=pat, replacement=replacement
             )
-        return pa.table({id_col: t[id_col], text_col: col})
+        i = t.schema.get_field_index(text_col)
+        return t.set_column(i, text_col, col)
 
     return ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["tfidf_top_terms", "bm25_topk"]
+__all__ = ["tfidf_top_terms", "bm25_topk", "bm25_topk_multi"]
 
 _SCH_OUT = pa.schema(
     [
@@ -91,7 +91,17 @@ def tfidf_top_terms(ds, k: int = 5, n_docs: int | None = None, text_col="text", 
         )
         return out
 
-    with_df = bucketed_map_groups(rows, ["term"], df_bucket)
+    # out_schema: empty sort partitions pass through schemaless without it,
+    # and the downstream pandas topk would KeyError on a column-less frame
+    _SCH_DF = pa.schema(
+        [
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int64()),
+            ("df", pa.int64()),
+        ]
+    )
+    with_df = bucketed_map_groups(rows, ["term"], df_bucket, out_schema=_SCH_DF)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         score = np.round(
@@ -111,6 +121,16 @@ def tfidf_top_terms(ds, k: int = 5, n_docs: int | None = None, text_col="text", 
 
     pruned = with_df.map_batches(topk, batch_format="pandas")
     return bucketed_map_groups(pruned, ["doc_id"], topk, out_schema=_SCH_OUT)
+
+
+def _query_terms(query: str) -> list[str]:
+    """Split a query on EXACTLY the document tokenizer's whitespace class
+    (tokhash's RE2 ``[\\t\\n\\f\\r ]`` — NOT Python ``str.split``, whose
+    all-Unicode-whitespace rule would split on e.g. ``\\x0b`` and NBSP
+    where the corpus kernel does not)."""
+    import re
+
+    return sorted({w for w in re.split(r"[\t\n\f\r ]+", query) if w})
 
 
 _SCH_BM25 = pa.schema(
@@ -140,11 +160,16 @@ def bm25_topk(
     leave the scan, so both exchanges are tiny regardless of corpus
     size.  Document length and corpus stats come from the same token
     kernel; ranking uses ``round(score, 6)`` with a doc_id tie-break so
-    the SQL oracle reproduces the row set exactly."""
+    the SQL oracle reproduces the row set exactly.
+
+    ``n_docs`` overrides the COUNT ``N`` in the idf only (a caller that
+    knows the corpus size skips nothing else); ``avgdl`` always comes
+    from the corpus scan, since no caller can supply a token total
+    without scanning."""
     from .bucketing import bucketed_map_groups, col_np, group_bounds
     from .tokhash import batch_token_hashes, hash_words
 
-    q_terms = sorted(set(query.split()))
+    q_terms = _query_terms(query)
     if not q_terms:
         raise ValueError("empty query")
     q_hashes = np.sort(hash_words(q_terms))
@@ -257,3 +282,167 @@ def bm25_topk(
         scored, ["doc_id"], topk, out_schema=_SCH_BM25, batch_format="pyarrow"
     )
     return summed.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
+_SCH_BM25_MULTI = pa.schema(
+    [
+        ("query_id", pa.string()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+        ("n_hit_terms", pa.int64()),
+    ]
+)
+
+
+def bm25_topk_multi(
+    ds,
+    queries: dict[str, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col="text",
+    id_col="doc_id",
+):
+    """→ Dataset (query_id, doc_id, score, n_hit_terms): per-query top-``k``
+    documents for a whole query TABLE, scored in ONE corpus pass.
+
+    Scale shape = :func:`bm25_topk` with the scan-side filter keyed by the
+    UNION of all query-term hashes: each (doc, term) row still leaves the
+    scan at most once regardless of how many queries share the term.  The
+    term-keyed exchange computes the (query-independent) global ``df`` and
+    each row's BM25 contribution, then fans the row out to its owning
+    query ids via a broadcast-small sorted (term-hash → query_id) map; a
+    final query-keyed exchange co-locates each query's candidates for the
+    per-query top-``k``.  Per-query cost is the posting lists of ITS
+    terms, never the corpus."""
+    from .bucketing import bucketed_map_groups, col_np, group_bounds
+    from .tokhash import batch_token_hashes, hash_words
+
+    q_ids = sorted(queries)
+    if not q_ids:
+        raise ValueError("empty query table")
+    pair_h_l, pair_q_l = [], []
+    for qid in q_ids:
+        terms = _query_terms(queries[qid])
+        if not terms:
+            raise ValueError(f"empty query {qid!r}")
+        h = hash_words(terms)
+        pair_h_l.append(h)
+        pair_q_l.append(np.full(len(h), qid, dtype=object))
+    pair_h = np.concatenate(pair_h_l)
+    pair_q = np.concatenate(pair_q_l)
+    order = np.argsort(pair_h, kind="stable")
+    pair_h, pair_q = pair_h[order], pair_q[order]
+    all_h = np.unique(pair_h)
+
+    def len_partial(t: pa.Table) -> pa.Table:
+        _h, _s, ntok = batch_token_hashes(t[text_col])
+        return pa.table(
+            {
+                "_n": pa.array([t.num_rows], pa.int64()),
+                "_tok": pa.array([int(ntok.sum())], pa.int64()),
+            }
+        )
+
+    totals = ds.map_batches(len_partial, batch_format="pyarrow").to_pandas().sum()
+    N = int(totals["_n"])
+    avgdl = float(totals["_tok"]) / max(N, 1)
+
+    _SCH_TF = pa.schema(
+        [
+            ("qh", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int64()),
+            ("dl", pa.int64()),
+        ]
+    )
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        np.seterr(over="ignore")
+        ids = col_np(t, id_col).astype(np.int64)
+        th, sg, ntok = batch_token_hashes(t[text_col])
+        if len(th) == 0:
+            return _SCH_TF.empty_table()
+        hit = np.isin(th, all_h)
+        if not hit.any():
+            return _SCH_TF.empty_table()
+        th, sg = th[hit], sg[hit]
+        key = th ^ (sg.astype(np.uint64) * _SEG_MIX)
+        order = np.argsort(key)
+        gs, ge = group_bounds(key[order])
+        rep = order[gs]
+        return pa.table(
+            {
+                "qh": pa.array(th[rep].astype(np.int64)),
+                "doc_id": pa.array(ids[sg[rep]]),
+                "tf": pa.array((ge - gs).astype(np.int64)),
+                "dl": pa.array(ntok[sg[rep]].astype(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        qh = col_np(t, "qh")
+        doc = col_np(t, "doc_id")
+        tf = col_np(t, "tf").astype(np.float64)
+        dl = col_np(t, "dl").astype(np.float64)
+        order = np.argsort(qh, kind="stable")
+        qh, doc, tf, dl = qh[order], doc[order], tf[order], dl[order]
+        starts, ends = group_bounds(qh)
+        df = (ends - starts).astype(np.float64)
+        idf = np.log1p((N - df + 0.5) / (df + 0.5))
+        idf_row = np.repeat(idf, (ends - starts).astype(np.int64))
+        s = idf_row * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        # fan each (term, doc) row out to the query ids owning the term:
+        # contiguous runs of the sorted broadcast (hash → query_id) map
+        uh = qh.astype(np.uint64)
+        lo = np.searchsorted(pair_h, uh, side="left")
+        hi = np.searchsorted(pair_h, uh, side="right")
+        cnt = hi - lo
+        rep_row = np.repeat(np.arange(len(qh)), cnt)
+        # index into pair_q: lo[row] + offset-within-run, fully vectorized
+        off = np.arange(cnt.sum()) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        qidx = np.repeat(lo, cnt) + off
+        return pa.table(
+            {
+                "query_id": pa.array(pair_q[qidx], pa.string()),
+                "doc_id": pa.array(doc[rep_row].astype(np.int64)),
+                "_s": pa.array(s[rep_row]),
+                "_c": pa.array(np.ones(len(rep_row), dtype=np.int64)),
+            }
+        )
+
+    _SCH_SCORED = pa.schema(
+        [
+            ("query_id", pa.string()),
+            ("doc_id", pa.int64()),
+            ("_s", pa.float64()),
+            ("_c", pa.int64()),
+        ]
+    )
+    scored = bucketed_map_groups(
+        rows, ["qh"], score_bucket, out_schema=_SCH_SCORED, batch_format="pyarrow"
+    )
+
+    def topk_per_query(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a query_id land in one bucket (keyed exchange), so
+        # per-(query, doc) sums and the per-query head are both local
+        agg = (
+            df.groupby(["query_id", "doc_id"], sort=False)
+            .agg(score=("_s", "sum"), n_hit_terms=("_c", "sum"))
+            .reset_index()
+        )
+        agg["score"] = np.round(agg["score"].to_numpy(np.float64), 6)
+        agg = agg.sort_values(
+            ["query_id", "score", "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        keep = agg.groupby("query_id", sort=False).cumcount().to_numpy() < k
+        return agg[keep]
+
+    out = bucketed_map_groups(
+        scored, ["query_id"], topk_per_query, out_schema=_SCH_BM25_MULTI
+    )
+    return out.sort(["query_id", "score", "doc_id"], descending=[False, True, False])

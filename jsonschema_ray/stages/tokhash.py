@@ -28,6 +28,7 @@ import pyarrow as pa
 __all__ = [
     "batch_token_hashes",
     "hash_words",
+    "hash_strings",
     "spans_to_strings",
     "mix64",
     "TOKHASH_SQL_MACROS",
@@ -159,6 +160,75 @@ def batch_token_hashes(col, include_lens: bool = False, include_spans: bool = Fa
     if include_spans:
         out.append((starts, b))
     return tuple(out)
+
+
+def _poly_hash_spans_blocked(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, stride: int = 64
+) -> np.ndarray:
+    """Polynomial span hash for LONG spans (whole documents): folds
+    ``stride`` bytes per numpy pass — one 2-D gather + one wrapped
+    multiply-sum — so a span of L bytes costs O(L/stride) passes instead
+    of the per-byte loop's O(L).  Byte-identical to
+    :func:`_poly_hash_spans` (same polynomial, same mixer)."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    order = np.argsort(-lens, kind="stable")
+    s_starts = starts[order].astype(np.int64)
+    s_lens = lens[order].astype(np.int64)
+    h = np.zeros(n, dtype=np.uint64)
+
+    pows = np.ones(stride, dtype=np.uint64)
+    for k in range(1, stride):
+        pows[k] = pows[k - 1] * POLY_B
+    pow_rev = pows[::-1].copy()  # B^(stride-1) … B^0
+    BS = pows[-1] * POLY_B  # B^stride
+
+    nfull = s_lens // stride  # sorted descending (lens are)
+    max_blocks = int(nfull[0])
+    offs = np.arange(stride, dtype=np.int64)
+    for k in range(max_blocks):
+        m = int(np.searchsorted(-nfull, -(k + 1), side="right"))
+        if m == 0:
+            break
+        mat = data[s_starts[:m, None] + (k * stride + offs)[None, :]].astype(
+            np.uint64
+        )
+        h[:m] = h[:m] * BS + (mat * pow_rev[None, :]).sum(axis=1, dtype=np.uint64)
+
+    # tail bytes (< stride per span): per-byte loop, re-sorted by tail len
+    r = s_lens - nfull * stride
+    t_order = np.argsort(-r, kind="stable")
+    r_s = r[t_order]
+    if len(r_s) and r_s[0] > 0:
+        t_starts = (s_starts + nfull * stride)[t_order]
+        ht = h[t_order]
+        for j in range(int(r_s[0])):
+            m = int(np.searchsorted(-r_s, -(j + 1), side="right"))
+            if m == 0:
+                break
+            ht[:m] = ht[:m] * POLY_B + data[t_starts[:m] + j].astype(np.uint64)
+        h[t_order] = ht
+
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return mix64(out)
+
+
+def hash_strings(col) -> np.ndarray:
+    """→ uint64[n]: content hash of each row's FULL string bytes, straight
+    off the Arrow data buffer (each row is one span for the polynomial
+    span kernel — the whole-string analogue of token hashing).  No Python
+    string ever materializes; nulls hash as empty.  Used by exact dedup
+    and the streaming index, where the hash only needs to be
+    deterministic, not SQL-replicable (their oracles group by the text
+    itself)."""
+    np.seterr(over="ignore")  # uint64 wraparound IS the mod-2^64 hash
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        arr = arr.fill_null("")
+    data, offsets = _string_bytes_view(arr)
+    return _poly_hash_spans_blocked(data, offsets[:-1], np.diff(offsets))
 
 
 def hash_words(words) -> np.ndarray:

@@ -31,9 +31,18 @@ import os
 import shutil
 import time
 
-__all__ = ["run_resumable"]
+__all__ = ["run_resumable", "atomic_json"]
 
 ENGINE_VERSION = 1
+
+
+def atomic_json(path: str, obj: dict) -> None:
+    """Write a manifest JSON atomically (tmp + rename): the file exists
+    only when its contents are complete — the invariant every resumable
+    layout here relies on."""
+    with open(path + ".tmp", "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(path + ".tmp", path)
 
 
 def _fingerprint(files: list[str]) -> str:
