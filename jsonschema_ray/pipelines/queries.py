@@ -2230,32 +2230,231 @@ SELECT doc_id, term, tf, df, tfidf FROM r WHERE rn <= 5
 """
 
 
+# The fixed query TABLE for q_bm25 (batch-query scoring: one corpus pass
+# for all queries; 'dup' exercises a zero-df term).
+BM25_QUERIES = {
+    "q_hashjoin": "hash join dup",
+    "q_scanfilter": "scan filter batch",
+    "q_sortmerge": "sort merge window",
+}
+
+
 def q_bm25(sf_dir: str):
-    """Okapi BM25 top-10 retrieval for a fixed query over the documents
-    table — stages/tfidf.py bm25_topk; query-term filtering happens at
-    the scan so the exchanges carry only matching (doc, term) rows."""
+    """Okapi BM25 top-10 retrieval for a query TABLE over the documents
+    table — stages/tfidf.py bm25_topk_multi: ONE corpus pass scores every
+    query, with the scan-side filter keyed by the union of all query-term
+    hashes so the exchanges carry only matching (doc, term) rows."""
     import ray.data as rd
 
-    from ..stages.tfidf import bm25_topk
+    from ..stages.tfidf import bm25_topk_multi
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return bm25_topk(ds, query="hash join dup", k=10)
+    return bm25_topk_multi(ds, BM25_QUERIES, k=10)
 
 
-BM25_SQL = r"""
-WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+def _bm25_queries_values() -> str:
+    import re
+
+    rows = []
+    for qid in sorted(BM25_QUERIES):
+        for term in sorted({w for w in re.split(r"[\t\n\f\r ]+", BM25_QUERIES[qid]) if w}):
+            rows.append(f"('{qid}', '{term}')")
+    return ", ".join(rows)
+
+
+BM25_SQL = rf"""
+WITH q(query_id, term) AS (VALUES {_bm25_queries_values()}),
+tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
 dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
 stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
 tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
        FROM (SELECT doc_id, unnest(t) AS w FROM tok)
-       WHERE w IN ('hash', 'join', 'dup') GROUP BY doc_id, w),
+       WHERE w IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, w),
 df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-sc AS (SELECT f.doc_id,
+sc AS (SELECT q.query_id, f.doc_id,
          SUM(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
              * f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw,
          COUNT(*) AS nh
-       FROM tf f JOIN df d USING (term) JOIN dl l USING (doc_id), stats s
-       GROUP BY f.doc_id)
-SELECT doc_id, ROUND(raw, 6) AS score, CAST(nh AS BIGINT) AS n_hit_terms
-FROM sc ORDER BY ROUND(raw, 6) DESC, doc_id LIMIT 10
+       FROM q JOIN tf f USING (term) JOIN df d ON f.term = d.term
+            JOIN dl l USING (doc_id), stats s
+       GROUP BY q.query_id, f.doc_id),
+r AS (SELECT query_id, doc_id, ROUND(raw, 6) AS score,
+             CAST(nh AS BIGINT) AS n_hit_terms,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(raw, 6) DESC, doc_id) AS rk
+      FROM sc)
+SELECT query_id, doc_id, score, n_hit_terms FROM r WHERE rk <= 10
+"""
+
+
+# -- round 4: merged registry queries ----------------------------------------
+# The driver's correctness harness checks a bounded window of queries();
+# these merges keep every operator value-checked while fitting ALL
+# registered queries inside it.  Each merged query still RUNS every
+# underlying operator — a tag column separates their rows for the oracle.
+
+
+def q_conv_checks(sf_dir: str):
+    """All four cross-row transcript checks in one query: referential
+    (role='tool' ⇔ tool set), (conv_id, turn_idx) uniqueness, turn_idx
+    contiguity and ts ordering — the checks=('referential','unique',
+    'contiguity','order') pipeline plan (one conv-keyed exchange serves
+    the last three)."""
+    from .validate_pipeline import transcript_violations
+
+    ds = _ds(transcripts_path(sf_dir))
+    return transcript_violations(
+        ds, checks=("referential", "unique", "contiguity", "order")
+    )
+
+
+def conv_checks_sql(path: str) -> str:
+    parts = [
+        referential_sql(path),
+        duplicate_keys_sql(path),
+        contiguity_sql(path),
+        ts_order_sql(path),
+    ]
+    return "\nUNION ALL\n".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+def q_row_modes(sf_dir: str):
+    """Row-keyword validation in BOTH output modes, tagged: mode='first'
+    is the reference's fail-fast semantics (first violation per row,
+    validate.go:18), mode='all' the collect-errors extension.  One scan
+    per mode, stateless tasks + per-worker compiled-plan cache."""
+    import ray.data as rd  # noqa: F401
+
+    from .validate_pipeline import TRANSCRIPT_ARROW_SCHEMA
+    from ..stages.validate import validate_rows_batch
+
+    path = transcripts_path(sf_dir)
+
+    def run(mode: str):
+        tagged_mode = mode
+
+        def tag(t: pa.Table) -> pa.Table:
+            return t.add_column(
+                0, "mode", pa.array([tagged_mode] * t.num_rows, pa.string())
+            )
+
+        return (
+            _ds(path)
+            .map_batches(
+                validate_rows_batch,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                fn_kwargs=dict(
+                    schema_json=TRANSCRIPT_SCHEMA_JSON,
+                    arrow_schema=TRANSCRIPT_ARROW_SCHEMA,
+                    mode=mode,
+                ),
+            )
+            .map_batches(tag, batch_format="pyarrow")
+        )
+
+    return run("first").union(run("all"))
+
+
+def row_modes_sql(path: str) -> str:
+    return (
+        f"SELECT 'first' AS mode, * FROM ({row_violations_sql(path)})\n"
+        f"UNION ALL\nSELECT 'all', * FROM ({row_violations_all_sql(path)})"
+    )
+
+
+def q_text_metrics(sf_dir: str):
+    """Every per-document text-analysis signal in ONE corpus scan
+    (stages/text.py text_metrics): token/char/subtoken counts, stopword
+    ratio, mean token length, language id, top-token fraction, duplicate
+    3-gram fraction.  Column-identical to the four separate stages, read
+    and tokenized once."""
+    import ray.data as rd
+
+    from ..stages.text import text_metrics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text_metrics(ds, n=3)
+
+
+TEXT_METRICS_SQL = f"""
+SELECT a.doc_id, a.n_chars, a.n_tokens, a.n_subtokens,
+       b.stop_ratio, b.mean_token_len, c.lang_pred,
+       d.top_token_frac, d.dup_ngram_frac
+FROM ({TOKEN_STATS_SQL}) a
+JOIN ({QUALITY_SQL}) b USING (doc_id)
+JOIN ({LANG_ID_SQL}) c USING (doc_id)
+JOIN ({REPETITION_SQL}) d USING (doc_id)
+"""
+
+
+def q_neardup_pairs(sf_dir: str):
+    """Near-duplicate pairs by BOTH algorithms, tagged: the exact
+    shingle-inverted-index path and the MinHash-LSH + distributed-verify
+    path (threshold 0.5).  The verified LSH pairs are deterministic and
+    exact-Jaccard-scored, so one exact SQL oracle covers both tags."""
+    import ray.data as rd
+
+    from ..stages.dedup import jaccard_pairs_exact, minhash_lsh_pairs
+
+    def read():
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    def tag(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.add_column(
+                0, "method", pa.array([name] * t.num_rows, pa.string())
+            )
+
+        return fn
+
+    exact = jaccard_pairs_exact(read(), threshold=0.5).map_batches(
+        tag("shingle"), batch_format="pyarrow"
+    )
+    lsh = minhash_lsh_pairs(read(), threshold=0.5).map_batches(
+        tag("minhash"), batch_format="pyarrow"
+    )
+    return exact.union(lsh)
+
+
+NEARDUP_PAIRS_SQL = f"""
+SELECT 'shingle' AS method, * FROM ({JACCARD_SQL})
+UNION ALL
+SELECT 'minhash', * FROM ({JACCARD_SQL})
+"""
+
+
+def q_windows(sf_dir: str):
+    """Tumbling (1 h) AND sliding (6 h / 3 h hop) windowed aggregates per
+    event type, tagged by kind — both window operators in one query."""
+    import ray.data as rd
+
+    from ..stages.events import sliding_window_agg, windowed_agg
+
+    def read():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+
+    def tag(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.add_column(
+                0, "kind", pa.array([name] * t.num_rows, pa.string())
+            )
+
+        return fn
+
+    tumb = windowed_agg(read()).map_batches(tag("tumbling"), batch_format="pyarrow")
+    slid = sliding_window_agg(read(), size_hours=6, hop_hours=3).map_batches(
+        tag("sliding"), batch_format="pyarrow"
+    )
+    return tumb.union(slid)
+
+
+WINDOWS_SQL = f"""
+SELECT 'tumbling' AS kind, * FROM ({EVENT_WINDOWS_SQL})
+UNION ALL
+SELECT 'sliding', * FROM ({SLIDING_WINDOWS_SQL})
 """

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats", "quality_scores", "quality_filter", "LangId", "lang_id", "fingerprints", "content_flags", "redact", "repetition_scores", "PII_PATTERNS", "STOPWORDS"]
+__all__ = ["token_stats", "quality_scores", "quality_filter", "LangId", "lang_id", "fingerprints", "content_flags", "redact", "repetition_scores", "text_metrics", "PII_PATTERNS", "STOPWORDS"]
 
 STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it")
 
@@ -326,6 +326,100 @@ def repetition_scores(ds, n: int = 3, text_col="text", id_col="doc_id"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SCH_METRICS = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_chars", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_subtokens", pa.int64()),
+        ("stop_ratio", pa.float64()),
+        ("mean_token_len", pa.float64()),
+        ("lang_pred", pa.string()),
+        ("top_token_frac", pa.float64()),
+        ("dup_ngram_frac", pa.float64()),
+    ]
+)
+
+
+def text_metrics(ds, n: int = 3, stopwords=STOPWORDS, markers=None, text_col="text", id_col="doc_id"):
+    """All per-document text-analysis signals in ONE scan: token/char/
+    subtoken counts, stopword ratio, mean token length, language id,
+    top-token fraction and duplicate-``n``-gram fraction.
+
+    Semantics are column-for-column identical to running
+    :func:`token_stats` + :func:`quality_scores` + :func:`lang_id` +
+    :func:`repetition_scores` separately (differential-tested) — but the
+    corpus is read once and tokenized once instead of four times, which
+    is what a real curation pipeline wants at 100 TB.  Single
+    ``map_batches`` pass over the byte-buffer token kernel, no shuffle."""
+    from .bucketing import group_bounds
+    from .dedup import _batch_shingles
+    from .tokhash import batch_token_hashes, hash_words
+
+    stop_h = np.sort(hash_words(sorted(set(stopwords))))
+    markers = markers or LANG_MARKERS
+    langs = sorted(markers)
+    marker_h = {lang: np.sort(hash_words(sorted(set(markers[lang])))) for lang in langs}
+    lang_arr = np.asarray(langs, dtype=object)
+
+    def metrics(t: pa.Table) -> pa.Table:
+        np.seterr(over="ignore")  # uint64 wraparound IS the mixing
+        n_docs = t.num_rows
+        th, sg, ntok, lens = batch_token_hashes(t[text_col], include_lens=True)
+        denom = np.maximum(ntok, 1).astype(np.float64)
+        has = ntok > 0
+        # quality: stopword ratio + mean token byte length
+        sum_stop = np.bincount(sg, weights=np.isin(th, stop_h), minlength=n_docs)
+        sum_len = np.bincount(sg, weights=lens.astype(np.float64), minlength=n_docs)
+        # lang id: marker-hit argmax, alphabetical tie-break
+        scores = np.zeros((n_docs, len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            scores[:, j] = np.bincount(
+                sg, weights=np.isin(th, marker_h[lang]), minlength=n_docs
+            )
+        best = np.argmax(scores, axis=1)
+        top_score = scores[np.arange(n_docs), best]
+        lang_pred = np.where(top_score > 0, lang_arr[best], "und")
+        # repetition: top-token fraction via (doc, token) multiplicities
+        top = np.zeros(n_docs, dtype=np.float64)
+        if len(th):
+            key = th ^ (sg.astype(np.uint64) * _REP_SEG_MIX)
+            order = np.argsort(key)
+            starts, ends = group_bounds(key[order])
+            cnt = (ends - starts).astype(np.int64)
+            gdoc = sg[order[starts]]
+            dorder = np.argsort(gdoc, kind="stable")
+            gdoc_s, cnt_s = gdoc[dorder], cnt[dorder]
+            dstarts, _ = group_bounds(gdoc_s)
+            present = gdoc_s[dstarts]
+            top[present] = np.maximum.reduceat(cnt_s, dstarts) / ntok[present]
+        # repetition: duplicate n-gram fraction from the deduped shingles
+        _hh, ss = _batch_shingles(t[text_col], n)
+        distinct = np.bincount(ss, minlength=n_docs).astype(np.int64)
+        total = np.where(ntok >= n, ntok - n + 1, np.where(ntok > 0, 1, 0))
+        dup = np.zeros(n_docs, dtype=np.float64)
+        nz = total > 0
+        dup[nz] = 1.0 - distinct[nz] / total[nz]
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "n_chars": pc.utf8_length(t[text_col]).cast(pa.int64()),
+                "n_tokens": pa.array(ntok),
+                "n_subtokens": pc.count_substring_regex(
+                    t[text_col], pattern=BPE_SPLIT_RE
+                ).cast(pa.int64()),
+                "stop_ratio": pa.array(np.round(np.where(has, sum_stop / denom, 0.0), 6)),
+                "mean_token_len": pa.array(np.round(np.where(has, sum_len / denom, 0.0), 6)),
+                "lang_pred": pa.array(lang_pred.astype(object), pa.string()),
+                "top_token_frac": pa.array(np.round(top, 6)),
+                "dup_ngram_frac": pa.array(np.round(dup, 6)),
+            },
+            schema=_SCH_METRICS,
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def redact(ds, patterns=None, replacement="[PII]", text_col="text", id_col="doc_id"):
