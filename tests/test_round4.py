@@ -373,3 +373,184 @@ def test_text_metrics_matches_separate_stages(ray_session):
     pd.testing.assert_series_equal(merged["lang_pred"], lang["lang_pred"])
     pd.testing.assert_series_equal(merged["top_token_frac"], rep["top_token_frac"])
     pd.testing.assert_series_equal(merged["dup_ngram_frac"], rep["dup_ngram_frac"])
+
+
+# -- Arrow twin of the per-bucket conversation checks -------------------------
+
+
+def _random_conv_table(seed: int, n: int = 4000):
+    """Adversarial conv-check input: duplicate (conv, turn) keys, gaps,
+    bad starts, out-of-order ts, unicode conv ids, multi-row turns."""
+    rng = np.random.default_rng(seed)
+    convs = np.array(
+        [f"c{i:04d}" for i in range(40)] + ["ü-conv", "中文conv", "a" * 40],
+        dtype=object,
+    )
+    conv = rng.choice(convs, size=n)
+    # mostly contiguous turns per conv, with planted corruption
+    order = np.argsort(conv, kind="stable")
+    turn = np.zeros(n, dtype=np.int64)
+    conv_sorted = conv[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = conv_sorted[1:] != conv_sorted[:-1]
+    seq = np.arange(n) - np.maximum.accumulate(np.where(first, np.arange(n), 0))
+    turn[order] = seq
+    corrupt = rng.random(n)
+    turn[corrupt < 0.05] += rng.integers(1, 900, size=int((corrupt < 0.05).sum()))
+    turn[corrupt > 0.97] = rng.integers(0, 5, size=int((corrupt > 0.97).sum()))
+    ts = np.int64(1_700_000_000_000_000) + turn * 1_000_000
+    jitter = rng.random(n) < 0.08
+    ts[jitter] -= rng.integers(1, 10_000_000_000, size=int(jitter.sum()))
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn.astype(np.int32)),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize(
+    "which",
+    [("unique",), ("contiguity",), ("order",), ("unique", "contiguity", "order")],
+)
+def test_run_bucket_table_matches_pandas(seed, which):
+    from jsonschema_ray.stages.checks import _run_bucket, _run_bucket_table
+
+    t = _random_conv_table(seed)
+    got = _run_bucket_table(t, which).to_pandas()
+    want = _run_bucket(t.to_pandas(), which).to_pandas()
+    cols = ["conv_id", "turn_idx", "keyword", "message"]
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_run_bucket_table_null_keys_excluded():
+    """Rows with null conv_id/turn_idx are 'required' row violations
+    upstream; the conversation checks skip them (pandas groupby parity)."""
+    from jsonschema_ray.stages.checks import _run_bucket_table
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", None, "a", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, None, 0], pa.int32()),
+            "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+        }
+    )
+    out = _run_bucket_table(t, ("unique", "contiguity", "order"))
+    assert out.num_rows == 0
+    allnull = pa.table(
+        {
+            "conv_id": pa.array([None, None], pa.string()),
+            "turn_idx": pa.array([None, 1], pa.int32()),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+        }
+    )
+    assert _run_bucket_table(allnull, ("unique",)).num_rows == 0
+
+
+def test_run_bucket_table_empty_and_clean():
+    from jsonschema_ray.stages.checks import _run_bucket_table
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+    assert _run_bucket_table(empty, ("unique", "contiguity", "order")).num_rows == 0
+    clean = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        }
+    )
+    assert _run_bucket_table(clean, ("unique", "contiguity", "order")).num_rows == 0
+
+
+def test_conv_range_bucketer_arrow_path_equals_numpy(tmp_path):
+    """bucket_of's zero-copy Arrow fast path must assign exactly the same
+    buckets as the legacy numpy path — unicode, nulls, > W-byte ids."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import _conv_range_bucketer
+
+    ids = sorted(
+        [f"conv-{i:08d}" for i in range(0, 600, 5)]
+        + ["conv-üü" + str(i) for i in range(5)]
+        + ["z" * 80 + str(i) for i in range(5)]  # longer than the S{W} window
+    )
+    for k in range(3):
+        chunk = ids[k * len(ids) // 3 : (k + 1) * len(ids) // 3]
+        pq.write_table(pa.table({"conv_id": chunk}), tmp_path / f"p{k}.parquet")
+    fn = _conv_range_bucketer(rd.read_parquet(str(tmp_path)), 8)
+    assert fn is not None
+    probe = ids + ["", "conv-99999999", "中"]
+    via_np = fn(np.array(probe + [None], dtype=object))
+    via_arrow = fn(pa.array(probe + [None], pa.string()))
+    assert np.array_equal(via_np, via_arrow)
+    chunked = pa.chunked_array([probe[:7], probe[7:] + [None]], pa.string())
+    assert np.array_equal(via_np, fn(chunked))
+
+
+def test_maybe_coalesce_read_replans_only_bare_reads():
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import _maybe_coalesce_read
+    from jsonschema_ray.sources.transcripts import transcripts_path
+
+    path = transcripts_path("/root/testdata/sf0.001")
+    ds = rd.read_parquet(path)
+    out = _maybe_coalesce_read(ds)
+    assert out.count() == ds.count()
+    mapped = ds.map_batches(lambda b: b, batch_format="pyarrow")
+    assert _maybe_coalesce_read(mapped) is mapped
+
+
+def test_maybe_coalesce_read_preserves_projection_and_filters():
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import _maybe_coalesce_read
+
+    pruned = rd.read_parquet("/root/testdata/sf0.001/region.parquet", columns=["r_name"])
+    out = _maybe_coalesce_read(pruned)
+    assert out.schema().names == ["r_name"]
+
+    import pyarrow.compute as pc
+
+    filtered = rd.read_parquet(
+        "/root/testdata/sf0.001/region.parquet",
+        filter=pc.field("r_regionkey") > 1,
+    )
+    # a pushed-down row filter cannot be re-planned — returned untouched
+    assert _maybe_coalesce_read(filtered) is filtered
+
+
+def test_fused1_direct_and_ray_exchanges_agree(ray_session):
+    """The raw two-stage exchange and the Dataset groupby exchange must
+    produce identical sorted violations (same kernels, different routing)."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import (
+        transcript_violations_fused1,
+    )
+    from jsonschema_ray.sources.transcripts import transcripts_path
+
+    path = transcripts_path("/root/testdata/sf0.01")
+
+    def get(route):
+        out = transcript_violations_fused1(rd.read_parquet(path), exchange=route)
+        assert out is not None
+        return out.to_pandas().reset_index(drop=True)
+
+    a = get("direct")
+    b = get("ray")
+    pd.testing.assert_frame_equal(a, b)
+    # direct output is globally ordered as produced
+    keys = list(zip(a.conv_id, a.turn_idx, a.keyword))
+    assert keys == sorted(keys)
