@@ -369,13 +369,31 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def host_fault_mbps() -> float:
+        """First-touch page-fault throughput probe.  This sandbox host
+        oscillates between ~7 GB/s and ~40 MB/s fault service (hypervisor
+        memory backing); in the degraded state every fresh allocation
+        serializes in the kernel and parallel efficiency collapses for
+        ANY engine.  Recording the probe with each pair makes degraded
+        measurements identifiable instead of silently corrupting the
+        reported ratio."""
+        import numpy as _np
+
+        n = 64 << 20
+        buf = _np.empty(n, dtype=_np.uint8)
+        t0 = time.perf_counter()
+        buf[::4096] = 1
+        return round(n / (1 << 20) / (time.perf_counter() - t0))
+
     # This host's throughput drifts ±25% across minutes (shared VM).  One
     # lo/hi pair sampled at different drift states corrupts the ratio, so
     # run INTERLEAVED pairs (lo,hi back-to-back) and report the median
     # pair efficiency; every pair is printed, nothing is discarded.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     pairs = []
+    probes = []
     for _ in range(reps):
+        probes.append(host_fault_mbps())
         lo = run(lo_cpus)
         hi = run(hi_cpus)
         pairs.append((lo, hi, (lo["sec"] / hi["sec"]) / (hi_cpus / lo_cpus)))
@@ -398,6 +416,7 @@ def scaling() -> None:
                 f"docs_per_sec_{hi_cpus}": hi["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "pair_efficiencies": [round(p[2], 3) for p in pairs],
+                "host_fault_mbps_per_pair": probes,
             }
         )
     )

@@ -623,9 +623,7 @@ def _sort_violations(t: pa.Table) -> pa.Table:
 # Above this estimated input size the direct exchange's nblocks × nparts
 # intermediate-object count stops being "a few hundred small objects" and
 # Ray's streaming AllToAll (merged, push-based shuffle) is the right plan.
-_DIRECT_EXCHANGE_MAX_BYTES = int(
-    os.environ.get("GRAFT_DIRECT_EXCHANGE_MAX_BYTES", str(8 << 30))
-)
+from ..stages.bucketing import DIRECT_EXCHANGE_MAX_BYTES as _DIRECT_EXCHANGE_MAX_BYTES
 
 
 def _direct_bucket_exchange(ds, make_parts, bucket_of, nparts, reduce_parts, batch_size):

@@ -14,6 +14,8 @@ bucket's rows fit comfortably in a worker's heap at any input scale.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -28,6 +30,13 @@ __all__ = [
 ]
 
 _BUCKET_COL = "__bucket"
+
+# Above this estimated input size a direct (raw-task) exchange's
+# nblocks × nbuckets intermediate-object count stops being "a few hundred
+# small objects" and Ray's streaming AllToAll is the right plan.
+DIRECT_EXCHANGE_MAX_BYTES = int(
+    os.environ.get("GRAFT_DIRECT_EXCHANGE_MAX_BYTES", str(8 << 30))
+)
 
 
 def hash_normalized(arr: np.ndarray) -> np.ndarray:
@@ -95,6 +104,73 @@ def pick_num_buckets(ds, num_buckets: int | None, target_bytes: int = 512 << 20)
     return max(32, int(sz // target_bytes) + 1)
 
 
+def _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format):
+    """Raw-task twin of the ``groupby(bucket).map_groups`` exchange for the
+    small-exchange regime (same pattern as the fused transcript plan's
+    direct exchange — see validate_pipeline._direct_bucket_exchange).
+
+    One split task per input block gathers each bucket's rows into a
+    tight sub-table (``take`` from the block, never a slice: string
+    slices pickle with their FULL data buffer); one reduce task per
+    bucket concats its pieces and applies ``fn``.  Ray's sort-backed
+    AllToAll pays seconds of fixed sample/barrier latency at sandbox data
+    sizes; this moves the same bytes without it.  Gated to inputs under
+    :data:`DIRECT_EXCHANGE_MAX_BYTES` and to callers that declare
+    ``out_schema`` (an all-empty bucket must still return a typed block).
+    Returns None when the route does not apply (caller falls back to the
+    Dataset plan)."""
+    import ray
+    import ray.data as rd
+
+    empty_out = out_schema.empty_table()
+
+    @ray.remote(num_returns=nb)
+    def split_block(block):
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0:
+            e = block.slice(0, 0)
+            return tuple(e for _ in range(nb))
+        b = bucket_ids(block)
+        order = np.argsort(b, kind="stable")
+        bounds = np.searchsorted(b[order], np.arange(nb + 1))
+        empty = block.slice(0, 0)
+        return tuple(
+            block.take(pa.array(order[bounds[i] : bounds[i + 1]], pa.int64()))
+            if bounds[i + 1] > bounds[i]
+            else empty
+            for i in range(nb)
+        )
+
+    @ray.remote
+    def reduce_bucket(*pieces):
+        live = [p for p in pieces if p.num_rows]
+        if not live:
+            return empty_out
+        g = pa.concat_tables(live).combine_chunks()
+        res = fn(g if batch_format == "pyarrow" else g.to_pandas())
+        if isinstance(res, pd.DataFrame):
+            res = pa.Table.from_pandas(res, preserve_index=False)
+        if res.num_rows == 0:
+            return empty_out
+        if res.schema != out_schema:
+            res = res.select(out_schema.names).cast(out_schema)
+        return res
+
+    try:
+        splits = [
+            split_block.remote(bref)
+            for bundle in ds.iter_internal_ref_bundles()
+            for bref in bundle.block_refs
+        ]
+    except Exception:
+        return None
+    if not splits:
+        return None
+    outs = [reduce_bucket.remote(*[s[i] for s in splits]) for i in range(nb)]
+    return rd.from_arrow_refs(outs)
+
+
 def bucketed_map_groups(
     ds,
     key_cols,
@@ -102,6 +178,7 @@ def bucketed_map_groups(
     num_buckets: int | None = None,
     out_schema: pa.Schema | None = None,
     batch_format: str = "pandas",
+    exchange: str = "auto",
 ):
     """Shuffle by hash(key_cols) % P, then apply ``fn`` per bucket.
 
@@ -123,13 +200,33 @@ def bucketed_map_groups(
     nb = pick_num_buckets(ds, num_buckets)
     keys = list(key_cols)
 
-    def add_bucket(t: pa.Table) -> pa.Table:
+    def bucket_ids(t: pa.Table) -> np.ndarray:
         h = np.zeros(t.num_rows, dtype=np.uint64)
         for c in keys:
             arr = t[c].combine_chunks().to_numpy(zero_copy_only=False)
             hc = hash_normalized(arr)
             h = h * np.uint64(1000003) ^ hc
-        return t.append_column(_BUCKET_COL, pa.array((h % nb).astype(np.int32)))
+        return (h % nb).astype(np.int32)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(_BUCKET_COL, pa.array(bucket_ids(t)))
+
+    route = os.environ.get("GRAFT_BUCKETED_EXCHANGE", exchange)
+    if route not in ("auto", "direct", "ray"):
+        raise ValueError(f"unknown exchange route {route!r}")
+    if route == "auto":
+        sz = _plan_size_estimate(ds)
+        route = (
+            "direct"
+            if out_schema is not None
+            and sz is not None
+            and sz < DIRECT_EXCHANGE_MAX_BYTES
+            else "ray"
+        )
+    if route == "direct" and out_schema is not None:
+        out = _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format)
+        if out is not None:
+            return out
 
     if batch_format == "pyarrow":
         apply = lambda g: fn(g.drop_columns([_BUCKET_COL]))  # noqa: E731
