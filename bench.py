@@ -349,6 +349,9 @@ def _scaling_workload_transcripts() -> None:
     ray.shutdown()
 
 
+_fault_probe_keepalive: list = []
+
+
 def scaling() -> None:
     lo_cpus, hi_cpus = int(os.environ.get('GRAFT_SCALE_LO', '2')), int(
         os.environ.get('GRAFT_SCALE_HI', '8')
@@ -383,6 +386,8 @@ def scaling() -> None:
         buf = _np.empty(n, dtype=_np.uint8)
         t0 = time.perf_counter()
         buf[::4096] = 1
+        _fault_probe_keepalive.append(buf)  # defeat numpy's freed-buffer
+        # reuse: a same-sized realloc would re-touch WARM pages
         return round(n / (1 << 20) / (time.perf_counter() - t0))
 
     # This host's throughput drifts ±25% across minutes (shared VM).  One
