@@ -147,7 +147,9 @@ def _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format):
         live = [p for p in pieces if p.num_rows]
         if not live:
             return empty_out
-        g = pa.concat_tables(live).combine_chunks()
+        # permissive: a unioned input's sides may disagree on integer
+        # width (int32 key vs int64 key) — promote like the Dataset plan
+        g = pa.concat_tables(live, promote_options="permissive").combine_chunks()
         res = fn(g if batch_format == "pyarrow" else g.to_pandas())
         if isinstance(res, pd.DataFrame):
             res = pa.Table.from_pandas(res, preserve_index=False)

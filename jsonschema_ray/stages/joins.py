@@ -191,6 +191,8 @@ def hash_join(
     Skewed keys: a hot key lands whole in one bucket; pre-aggregate or salt
     (split the hot key's right side and replicate the left) before joining.
     """
+    from .bucketing import bucketed_map_groups
+
     nb = pick_num_buckets(left_ds, None)
     all_cols = [on, *left_cols, *right_cols]
 
@@ -198,15 +200,12 @@ def hash_join(
 
     def tag(side: str, own: list[str]):
         def fn(t: pa.Table) -> pa.Table:
-            key = t[on].combine_chunks().to_numpy(zero_copy_only=False)
-            b = (hash_normalized(key) % nb).astype(np.int32)
             cols = {}
             for c in all_cols:
                 if c == on or c in own:
                     cols[c] = t[c]
                 else:
                     cols[c] = pa.nulls(t.num_rows, type_of[c])
-            cols["_b"] = pa.array(b)
             cols["_side"] = pa.array([side] * t.num_rows, pa.string())
             return pa.table(cols)
 
@@ -227,20 +226,12 @@ def hash_join(
 
     out_cols = [on, *left_cols] + (right_cols if how == "inner" else [])
     target = pa.schema([(c, type_of[c]) for c in out_cols])
-
-    def recast(t: pa.Table) -> pa.Table:
-        # the union's null padding floats int columns through pandas;
-        # restore the sides' true Arrow types.  The sort under map_groups
-        # can emit schemaless EMPTY blocks (UDF never called) — stamp them
-        # with the declared schema so downstream ops see one stable schema.
-        if t.num_rows == 0:
-            return target.empty_table()
-        return t.select(out_cols).cast(target)
-
-    return (
-        both.groupby("_b")
-        .map_groups(join_bucket, batch_format="pandas")
-        .map_batches(recast, batch_format="pyarrow")
+    # out_schema both restores the sides' true Arrow types (the union's
+    # null padding floats int columns through pandas) and stamps the
+    # exchange's empty blocks typed; the bucketed exchange also gives this
+    # join the direct raw-task route in the small-exchange regime
+    return bucketed_map_groups(
+        both, [on], join_bucket, num_buckets=nb, out_schema=target
     )
 
 
