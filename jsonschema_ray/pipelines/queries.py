@@ -403,7 +403,12 @@ def _distinct_counts_onepass(path: str, cols: tuple[str, ...]) -> dict[str, int]
         )
 
     per_bucket = bucketed_map_groups(
-        ds.map_batches(partials, batch_format="pyarrow"), ["value"], count_bucket
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["value"],
+        count_bucket,
+        out_schema=pa.schema(
+            [("column_name", pa.string()), ("n_distinct", pa.int64())]
+        ),
     ).to_pandas()
     return (
         per_bucket.groupby("column_name", sort=False)["n_distinct"].sum().to_dict()
@@ -1386,6 +1391,9 @@ def q_conformance_summary(sf_dir: str):
         lambda df: df.groupby("file", sort=False)[["n_cases", "n_matched"]]
         .sum()
         .reset_index(),
+        out_schema=pa.schema(
+            [("file", pa.string()), ("n_cases", pa.int64()), ("n_matched", pa.int64())]
+        ),
     )
 
 
@@ -1588,7 +1596,18 @@ def q_priority_revenue(sf_dir: str):
 
     from ..stages.bucketing import bucketed_map_groups
 
-    return bucketed_map_groups(agg, ["o_orderpriority"], final)
+    return bucketed_map_groups(
+        agg,
+        ["o_orderpriority"],
+        final,
+        out_schema=pa.schema(
+            [
+                ("o_orderpriority", pa.string()),
+                ("revenue", pa.float64()),
+                ("n_items", pa.int64()),
+            ]
+        ),
+    )
 
 
 PRIORITY_REVENUE_SQL = """
@@ -1658,7 +1677,19 @@ def q_top_events(sf_dir: str):
         out["rank"] = out.groupby("event_type", sort=False).cumcount() + 1
         return out[["event_type", "rank", "event_id", "value"]]
 
-    return bucketed_map_groups(partials, ["event_type"], final_topk)
+    return bucketed_map_groups(
+        partials,
+        ["event_type"],
+        final_topk,
+        out_schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("rank", pa.int64()),
+                ("event_id", pa.int64()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
 
 
 TOP_EVENTS_SQL = """
@@ -1724,7 +1755,12 @@ def q_ngram_counts(sf_dir: str):
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    merged = bucketed_map_groups(partials, ["gram"], merge)
+    merged = bucketed_map_groups(
+        partials,
+        ["gram"],
+        merge,
+        out_schema=pa.schema([("gram", pa.string()), ("n", pa.int64())]),
+    )
     top = merged.sort(["n", "gram"], descending=[True, False]).limit(20)
     return top
 
@@ -1883,7 +1919,16 @@ def q_role_tool_matrix(sf_dir: str):
         )
         return out
 
-    return bucketed_map_groups(narrow, ["role"], pivot)
+    return bucketed_map_groups(
+        narrow,
+        ["role"],
+        pivot,
+        out_schema=pa.schema(
+            [("role", pa.string())]
+            + [(f"n_{t}", pa.int64()) for t in sorted(TOOLS)]
+            + [("n_none", pa.int64())]
+        ),
+    )
 
 
 def role_tool_matrix_sql(path: str) -> str:
@@ -1974,7 +2019,12 @@ def q_distinct_pairs(sf_dir: str):
         return df.drop_duplicates()
 
     partials = ds.map_batches(local_unique, batch_format="pandas")
-    return bucketed_map_groups(partials, ["role", "tool"], lambda df: df.drop_duplicates())
+    return bucketed_map_groups(
+        partials,
+        ["role", "tool"],
+        lambda df: df.drop_duplicates(),
+        out_schema=pa.schema([("role", pa.string()), ("tool", pa.string())]),
+    )
 
 
 def distinct_pairs_sql(path: str) -> str:

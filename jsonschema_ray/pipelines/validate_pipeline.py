@@ -897,11 +897,11 @@ def transcript_violations_fused1(
                 parts.append(cc)
         if not parts:
             return EMPTY_VIOLATIONS
-        allp = pa.concat_tables(parts).combine_chunks()
-        # the bucket sequence is conv-ordered (monotone bucketer), so a
-        # full in-bucket sort yields GLOBALLY sorted output — the final
-        # all-to-all sort of the hash plan disappears
-        return _sort_violations(allp)
+        # no table-level combine: _sort_violations combines per key
+        # column and its take compacts the output (the bucket sequence is
+        # conv-ordered, so the in-bucket sort yields GLOBALLY sorted
+        # output — the final all-to-all sort of the hash plan disappears)
+        return _sort_violations(pa.concat_tables(parts))
 
     empty = VIOLATION_PA_SCHEMA.empty_table()
 
@@ -927,10 +927,9 @@ def transcript_violations_fused1(
                 parts.append(cc)
         if not parts:
             return empty
-        allp = pa.concat_tables(
-            [p.cast(VIOLATION_PA_SCHEMA) for p in parts]
-        ).combine_chunks()
-        return _sort_violations(allp)
+        return _sort_violations(
+            pa.concat_tables([p.cast(VIOLATION_PA_SCHEMA) for p in parts])
+        )
 
     out = None
     if route == "direct":

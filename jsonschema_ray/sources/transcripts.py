@@ -73,6 +73,12 @@ _WORDS = np.array(
 )
 
 
+# One generation chunk: bounds the generator's peak driver memory (a
+# chunk's object arrays, not the whole table's).  Tables at or under this
+# size are bit-identical to the pre-chunking generator.
+_GEN_CHUNK_TURNS = 6_000_000
+
+
 def _conv_lengths(rng: np.random.Generator, n_turns: int) -> np.ndarray:
     """Zipf-skewed conversation lengths summing to ~n_turns."""
     lens = []
@@ -87,14 +93,19 @@ def _conv_lengths(rng: np.random.Generator, n_turns: int) -> np.ndarray:
     return arr[:k].astype(np.int64)
 
 
-def _gen_clean(seed: int, n_turns: int):
-    """Vectorized clean table; returns dict of numpy/object arrays."""
+def _gen_clean(seed: int, n_turns: int, conv_offset: int = 0):
+    """Vectorized clean table; returns dict of numpy/object arrays.
+
+    ``conv_offset`` shifts the conversation-id space so independently
+    generated chunks of one logical table never share an id."""
     rng = np.random.default_rng(seed)
     lens = _conv_lengths(rng, n_turns)
     n_convs = len(lens)
     total = int(lens.sum())
 
-    conv_ids = np.array([f"conv-{i:08d}" for i in range(n_convs)], dtype=object)
+    conv_ids = np.array(
+        [f"conv-{i + conv_offset:08d}" for i in range(n_convs)], dtype=object
+    )
     conv_id = np.repeat(conv_ids, lens)
 
     starts = np.zeros(n_convs, dtype=np.int64)
@@ -244,6 +255,11 @@ def generate_transcripts(
         "rows_per_file": rows_per_file,
         "gen_version": 5,
     }
+    if n_turns > _GEN_CHUNK_TURNS:
+        # big tables are generated in independent chunks with disjoint
+        # conv-id ranges — the driver's peak memory stays one chunk's,
+        # not the whole table's (a 48M-turn single-shot build held >40 GB)
+        spec["chunk_turns"] = _GEN_CHUNK_TURNS
     spec_path = os.path.join(out_dir, "_SPEC.json")
     if os.path.exists(spec_path):
         try:
@@ -256,21 +272,31 @@ def generate_transcripts(
 
         shutil.rmtree(out_dir)
 
-    cols = _gen_clean(seed, n_turns)
-    if variant == "planted":
-        cols = _plant(cols, seed)
-    elif variant == "drift":
-        cols = _drift(cols, seed)
-    elif variant != "clean":
+    if variant not in ("planted", "drift", "clean"):
         raise ValueError(f"unknown variant {variant!r}")
 
-    table = _to_table(cols)
     tmp_dir = out_dir + ".tmp"
     os.makedirs(tmp_dir, exist_ok=True)
-    n = table.num_rows
-    for i, lo in enumerate(range(0, n, rows_per_file)):
-        part = table.slice(lo, rows_per_file)
-        pq.write_table(part, os.path.join(tmp_dir, f"part-{i:05d}.parquet"))
+    file_i = 0
+    done = 0
+    k = 0
+    while done < n_turns:
+        nt = min(_GEN_CHUNK_TURNS, n_turns - done)
+        cseed = seed + 7919 * k
+        cols = _gen_clean(cseed, nt, conv_offset=k * 10_000_000)
+        if variant == "planted":
+            cols = _plant(cols, cseed)
+        elif variant == "drift":
+            cols = _drift(cols, cseed)
+        table = _to_table(cols)
+        del cols
+        for lo in range(0, table.num_rows, rows_per_file):
+            part = table.slice(lo, rows_per_file)
+            pq.write_table(part, os.path.join(tmp_dir, f"part-{file_i:05d}.parquet"))
+            file_i += 1
+        del table
+        done += nt
+        k += 1
     with open(os.path.join(tmp_dir, "_SPEC.json"), "w") as f:
         json.dump(spec, f)
     os.replace(tmp_dir, out_dir) if not os.path.exists(out_dir) else None

@@ -122,6 +122,8 @@ def _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format):
     import ray
     import ray.data as rd
 
+    if nb < 2:  # num_returns=1 yields a bare ref, not a 1-tuple
+        return None
     empty_out = out_schema.empty_table()
 
     @ray.remote(num_returns=nb)
@@ -149,7 +151,7 @@ def _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format):
             return empty_out
         # permissive: a unioned input's sides may disagree on integer
         # width (int32 key vs int64 key) — promote like the Dataset plan
-        g = pa.concat_tables(live, promote_options="permissive").combine_chunks()
+        g = pa.concat_tables(live, promote_options="permissive")
         res = fn(g if batch_format == "pyarrow" else g.to_pandas())
         if isinstance(res, pd.DataFrame):
             res = pa.Table.from_pandas(res, preserve_index=False)

@@ -709,6 +709,7 @@ def max_conversation_size(ds) -> int:
         partials,
         ["conv_id"],
         lambda df: df.groupby("conv_id", sort=False)["_n"].sum().reset_index(),
+        out_schema=pa.schema([("conv_id", pa.string()), ("_n", pa.int64())]),
     )
     out = totals.max("_n")
     return int(out) if out is not None else 0

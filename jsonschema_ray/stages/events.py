@@ -66,6 +66,14 @@ def windowed_agg(ds, window: str = "hour", key_col: str = "event_type", ts_col: 
         ds.map_batches(partials, batch_format="pyarrow"),
         ["window_start", key_col],
         combine,
+        out_schema=pa.schema(
+            [
+                ("window_start", pa.timestamp("us")),
+                (key_col, pa.string()),
+                ("n_events", pa.int64()),
+                ("sum_value", pa.float64()),
+            ]
+        ),
     )
 
 
@@ -118,6 +126,14 @@ def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str
         ds.select_columns([user_col, ts_col, value_col]),
         [user_col],
         sessions_in_bucket,
+        out_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("session_start", pa.timestamp("us")),
+                ("n_events", pa.int64()),
+                ("sum_value", pa.float64()),
+            ]
+        ),
     )
 
 
@@ -183,4 +199,12 @@ def sliding_window_agg(
         ds.map_batches(partials, batch_format="pyarrow"),
         ["window_start", key_col],
         combine,
+        out_schema=pa.schema(
+            [
+                ("window_start", pa.timestamp("us")),
+                (key_col, pa.string()),
+                ("n_events", pa.int64()),
+                ("sum_value", pa.float64()),
+            ]
+        ),
     )
