@@ -554,3 +554,108 @@ def test_fused1_direct_and_ray_exchanges_agree(ray_session):
     # direct output is globally ordered as produced
     keys = list(zip(a.conv_id, a.turn_idx, a.keyword))
     assert keys == sorted(keys)
+
+
+# -- generic direct exchange (bucketed_map_groups) ----------------------------
+
+
+def test_bucketed_direct_and_ray_routes_agree(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.stages.bucketing import bucketed_map_groups
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(-50, 50, 5000).astype(np.int32),
+            "v": rng.random(5000).round(6),
+            "s": [f"s{i % 97}" for i in range(5000)],
+        }
+    )
+    schema = pa.schema([("k", pa.int64()), ("n", pa.int64()), ("sv", pa.float64())])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("k", sort=False)
+            .agg(n=("v", "size"), sv=("v", "sum"))
+            .reset_index()
+        )
+        out["sv"] = out["sv"].round(6)
+        return out
+
+    def run(route):
+        out = bucketed_map_groups(
+            rd.from_pandas(df).repartition(5),
+            ["k"],
+            agg,
+            out_schema=schema,
+            exchange=route,
+        ).to_pandas()
+        return out.sort_values("k").reset_index(drop=True)
+
+    a, b = run("direct"), run("ray")
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 100
+    # brute force
+    want = agg(df).sort_values("k").reset_index(drop=True).astype({"k": np.int64})
+    pd.testing.assert_frame_equal(a, want)
+
+
+def test_bucketed_direct_empty_buckets_typed(ray_session):
+    """A key space much smaller than the bucket count leaves most buckets
+    empty — they must come back as typed empty blocks, not crash."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.bucketing import bucketed_map_groups
+
+    df = pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]})
+    schema = pa.schema([("k", pa.int64()), ("sv", pa.float64())])
+    out = bucketed_map_groups(
+        rd.from_pandas(df),
+        ["k"],
+        lambda g: g.groupby("k", sort=False)["v"].sum().reset_index(name="sv"),
+        num_buckets=64,
+        out_schema=schema,
+        exchange="direct",
+    )
+    got = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["sv"].tolist() == [3.0, 3.0]
+    assert out.schema().names == ["k", "sv"]
+
+
+# -- chunked deterministic generation -----------------------------------------
+
+
+def test_generate_transcripts_chunked(tmp_path, monkeypatch):
+    import pyarrow.dataset as pds
+
+    import jsonschema_ray.sources.transcripts as tr
+
+    monkeypatch.setattr(tr, "_GEN_CHUNK_TURNS", 5000)
+    p = tr.generate_transcripts(str(tmp_path / "big"), n_turns=12_000, seed=7)
+    d = pds.dataset(p)
+    t = d.to_table(columns=["conv_id", "turn_idx"])
+    n = t.num_rows
+    assert n >= 12_000
+    convs = t["conv_id"].to_pylist()
+    # disjoint id ranges per chunk: every id is unique to one chunk, so a
+    # conversation never straddles chunks and global uniqueness semantics
+    # hold for the planted-dup rows only
+    import collections
+
+    first_digit_groups = collections.Counter(c[:6] for c in convs)
+    assert len(first_digit_groups) >= 2  # offsets 0 and 10_000_000 present
+    # idempotent: second call reuses the directory (same _SPEC)
+    assert tr.generate_transcripts(str(tmp_path / "big"), n_turns=12_000, seed=7) == p
+
+
+def test_generate_transcripts_small_tables_unchanged(tmp_path):
+    """n_turns at or under one chunk must stay bit-identical to the
+    pre-chunking generator (spec gen_version 5, no chunk_turns key)."""
+    import json as _json
+
+    from jsonschema_ray.sources.transcripts import generate_transcripts
+
+    p = generate_transcripts(str(tmp_path / "t"), n_turns=8_000, seed=42)
+    spec = _json.load(open(f"{p}/_SPEC.json"))
+    assert "chunk_turns" not in spec and spec["gen_version"] == 5
