@@ -248,9 +248,13 @@ WHERE CAST(props->>'k' AS BIGINT) > 50
 
 
 def q_lineitem_pricing(sf_dir: str):
-    """TPC-H Q1-style grouped aggregate with in-batch partials."""
+    """TPC-H Q1-style grouped aggregate, fully combiner-shaped: each batch
+    reduces to one partial row per (returnflag, linestatus) — ~6 groups —
+    so NO exchange is needed at all; the bounded partial set (groups ×
+    blocks) merges on the driver.  At 100 TB the partials are still
+    (6 groups × nblocks) tiny rows, the same pattern as the stats
+    profile's sketch merge."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Mean, Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -263,35 +267,55 @@ def q_lineitem_pricing(sf_dir: str):
         ],
     )
 
-    def revenue(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
-        return t.append_column("rev", rev)
-
-    out = (
-        ds.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("rev", alias_name="sum_rev"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n"),
-        )
-    )
-
-    def round_cols(t: pa.Table) -> pa.Table:
-        return pa.table(
+        df = pd.DataFrame(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "sum_qty": pc.round(t["sum_qty"], 2),
-                "sum_rev": pc.round(t["sum_rev"], 2),
-                "avg_disc": pc.round(t["avg_disc"], 4),
-                "n": t["n"],
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "qty": t["l_quantity"].to_pandas(),
+                "rev": rev.to_pandas(),
+                "disc": t["l_discount"].to_pandas(),
             }
         )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                sum_rev=("rev", "sum"),
+                sum_disc=("disc", "sum"),
+                n=("qty", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    return out.map_batches(round_cols, batch_format="pyarrow").sort(
-        ["l_returnflag", "l_linestatus"]
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        .agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_rev=("sum_rev", "sum"),
+            sum_disc=("sum_disc", "sum"),
+            n=("n", "sum"),
+        )
+        .reset_index()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+                "sum_qty": pa.array(out["sum_qty"].round(2), pa.float64()),
+                "sum_rev": pa.array(out["sum_rev"].round(2), pa.float64()),
+                "avg_disc": pa.array(
+                    (out["sum_disc"] / out["n"]).round(4), pa.float64()
+                ),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
     )
 
 

@@ -108,7 +108,32 @@ def cosine_topk(ds, query_ids, k: int = 5, vec_col="embedding", id_col="vec_id")
         zero_copy_batch=True,
         fn_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col),
     )
-    return cands.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    from .bucketing import bucketed_map_groups
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # a bucket holds MANY query groups — reduce each vectorized
+        g = g[g["query_id"] != g["vec_id"]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable")
+        out = g.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return out[["query_id", "vec_id", "rank", "sim"]]
+
+    # the candidate stream is (k+1) rows per query per BLOCK — small, but
+    # it grows with the block count, so the merge stays a keyed grouped
+    # stage (direct exchange under the gate) rather than a driver collect
+    return bucketed_map_groups(
+        cands,
+        ["query_id"],
+        bucket_topk,
+        out_schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("sim", pa.float64()),
+            ]
+        ),
+    )
 
 
 def lsh_topk(

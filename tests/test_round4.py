@@ -659,3 +659,31 @@ def test_generate_transcripts_small_tables_unchanged(tmp_path):
     p = generate_transcripts(str(tmp_path / "t"), n_turns=8_000, seed=42)
     spec = _json.load(open(f"{p}/_SPEC.json"))
     assert "chunk_turns" not in spec and spec["gen_version"] == 5
+
+
+def test_cosine_topk_many_queries_per_bucket(ray_session):
+    """The grouped top-k reduce receives MANY query groups per bucket —
+    head(k) must apply per query, not per bucket (caught by the oracle
+    smoke when the merge moved to the bucketed exchange)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.ann import cosine_topk
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 8
+    vecs = rng.standard_normal((n, d))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [list(v) for v in vecs]}
+    )
+    qids = list(range(0, 40))  # 40 queries >> bucket count they hash into
+    out = cosine_topk(rd.from_pandas(df).repartition(4), qids, k=3).to_pandas()
+    counts = out.groupby("query_id").size()
+    assert len(counts) == 40 and (counts == 3).all()
+    assert sorted(out["rank"].unique().tolist()) == [1, 2, 3]
+    # brute-force one query
+    q = vecs[qids[7]] / np.linalg.norm(vecs[qids[7]])
+    sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ q
+    sims[qids[7]] = -np.inf
+    want = set(np.argsort(-sims)[:3].tolist())
+    got = set(out[out.query_id == qids[7]]["vec_id"].tolist())
+    assert got == want
