@@ -74,15 +74,33 @@ def _topk_batch(
     )
 
 
-def _final_topk(k: int):
-    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["query_id"] != g["vec_id"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "vec_id", "rank", "sim"]]
+def _grouped_topk_merge(cands, k: int):
+    """Merge per-block top-k candidates into the global per-query top-k:
+    one keyed grouped stage on query_id (direct exchange under the size
+    gate).  A bucket holds MANY query groups, so every step reduces per
+    key group inside the bucket, never per bucket."""
+    from .bucketing import bucketed_map_groups
 
-    return reduce_group
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["query_id"] != g["vec_id"]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable")
+        out = g.groupby("query_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return out[["query_id", "vec_id", "rank", "sim"]]
+
+    return bucketed_map_groups(
+        cands,
+        ["query_id"],
+        bucket_topk,
+        out_schema=pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("vec_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("sim", pa.float64()),
+            ]
+        ),
+    )
 
 
 def cosine_topk(ds, query_ids, k: int = 5, vec_col="embedding", id_col="vec_id"):
@@ -108,32 +126,10 @@ def cosine_topk(ds, query_ids, k: int = 5, vec_col="embedding", id_col="vec_id")
         zero_copy_batch=True,
         fn_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col, id_col=id_col),
     )
-    from .bucketing import bucketed_map_groups
-
-    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        # a bucket holds MANY query groups — reduce each vectorized
-        g = g[g["query_id"] != g["vec_id"]]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="stable")
-        out = g.groupby("query_id", sort=False).head(k).copy()
-        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
-        return out[["query_id", "vec_id", "rank", "sim"]]
-
     # the candidate stream is (k+1) rows per query per BLOCK — small, but
     # it grows with the block count, so the merge stays a keyed grouped
-    # stage (direct exchange under the gate) rather than a driver collect
-    return bucketed_map_groups(
-        cands,
-        ["query_id"],
-        bucket_topk,
-        out_schema=pa.schema(
-            [
-                ("query_id", pa.int64()),
-                ("vec_id", pa.int64()),
-                ("rank", pa.int64()),
-                ("sim", pa.float64()),
-            ]
-        ),
-    )
+    # stage rather than a driver collect
+    return _grouped_topk_merge(cands, k)
 
 
 def lsh_topk(
@@ -194,7 +190,7 @@ def lsh_topk(
         zero_copy_batch=True,
         fn_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col),
     )
-    return cands.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    return _grouped_topk_merge(cands, k)
 
 
 def _kmeans_fit(ds, nlist: int, vec_col: str, iters: int = 4, seed: int = 5):
@@ -295,4 +291,4 @@ def ivf_topk(
         zero_copy_batch=True,
         fn_kwargs=dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col),
     )
-    return cands.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    return _grouped_topk_merge(cands, k)
