@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 __all__ = ["grouped_running_sum", "grouped_quantile"]
 
@@ -39,7 +40,15 @@ def grouped_running_sum(
         df[out_col] = df.groupby(keys, sort=False)[value_col].cumsum().round(6)
         return df
 
-    return bucketed_map_groups(ds, keys, run)
+    from .sampling import _input_schema
+
+    in_sch = _input_schema(ds)
+    out_schema = None
+    if in_sch is not None:
+        vt = in_sch.field(value_col).type
+        out_t = vt if pa.types.is_integer(vt) else pa.float64()
+        out_schema = in_sch.append(pa.field(out_col, out_t))
+    return bucketed_map_groups(ds, keys, run, out_schema=out_schema)
 
 
 def grouped_quantile(ds, key_cols, value_col: str, q: float = 0.5):
@@ -58,4 +67,14 @@ def grouped_quantile(ds, key_cols, value_col: str, q: float = 0.5):
         )
         return g
 
-    return bucketed_map_groups(ds, keys, quant)
+    from .sampling import _input_schema
+
+    in_sch = _input_schema(ds)
+    out_schema = (
+        pa.schema(
+            [(c, in_sch.field(c).type) for c in keys] + [(out_col, pa.float64())]
+        )
+        if in_sch is not None
+        else None
+    )
+    return bucketed_map_groups(ds, keys, quant, out_schema=out_schema)
