@@ -57,10 +57,18 @@ def grouped_distinct_exact(ds, key_col: str, value_col: str):
             .reset_index(name="_partial")
         )
 
+    from .sampling import _input_schema
+
+    in_sch = _input_schema(ds)
+    key_t = in_sch.field(key_col).type if in_sch is not None else None
+
     partials = bucketed_map_groups(
         ds.map_batches(batch_uniques, batch_format="pyarrow"),
         [key_col, value_col],
         count_bucket,
+        out_schema=pa.schema([(key_col, key_t), ("_partial", pa.int64())])
+        if key_t is not None
+        else None,
     )
 
     def sum_bucket(df):
@@ -68,7 +76,14 @@ def grouped_distinct_exact(ds, key_col: str, value_col: str):
         g["n_distinct"] = g["n_distinct"].astype("int64")
         return g
 
-    return bucketed_map_groups(partials, [key_col], sum_bucket)
+    return bucketed_map_groups(
+        partials,
+        [key_col],
+        sum_bucket,
+        out_schema=pa.schema([(key_col, key_t), ("n_distinct", pa.int64())])
+        if key_t is not None
+        else None,
+    )
 
 
 def _col_partial(col: pa.ChunkedArray, name: str, spec: dict) -> dict:
