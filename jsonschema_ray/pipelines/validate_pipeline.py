@@ -246,10 +246,21 @@ def _maybe_coalesce_read(ds):
         op = ds._logical_plan.dag
         if type(op).__name__ != "Read":
             return ds
+        if getattr(op, "_parallelism", -1) != -1:
+            return ds  # caller chose a block count — respect it
         src = getattr(op, "_datasource", None)
         if type(src).__name__ != "ParquetDatasource":
             return ds
+        # any read configuration the re-plan cannot reproduce → leave the
+        # read alone (row filters, schema overrides, read-time UDFs,
+        # hive partition columns)
         if getattr(src, "_to_batches_kwargs", None):
+            return ds
+        if getattr(src, "_read_schema", None) is not None:
+            return ds
+        if getattr(src, "_block_udf", None) is not None:
+            return ds
+        if getattr(src, "_partition_columns", None):
             return ds
         columns = getattr(src, "_data_columns", None)
         files = ds.input_files()
@@ -601,21 +612,20 @@ def _sort_violations(t: pa.Table) -> pa.Table:
         ("turn_idx", "ascending"),
         ("keyword", "ascending"),
     ]
+    from ..stages.checks import _conv_order_codes
+
     conv = t["conv_id"].combine_chunks()
     kw = t["keyword"].combine_chunks()
     turn_a = t["turn_idx"].combine_chunks()
     if conv.null_count or kw.null_count or turn_a.null_count:
         return t.take(pc.sort_indices(t, sort_keys=keys))
 
-    def codes(arr: pa.Array) -> np.ndarray:
-        dc = arr.dictionary_encode()
-        d = dc.dictionary
-        rank = np.empty(len(d), dtype=np.int64)
-        rank[pc.array_sort_indices(d).to_numpy()] = np.arange(len(d))
-        return rank[dc.indices.to_numpy(zero_copy_only=False)]
-
     order = np.lexsort(
-        (codes(kw), turn_a.to_numpy(zero_copy_only=False), codes(conv))
+        (
+            _conv_order_codes(kw),
+            turn_a.to_numpy(zero_copy_only=False),
+            _conv_order_codes(conv),
+        )
     )
     return t.take(pa.array(order, pa.int64()))
 
@@ -656,7 +666,6 @@ def _direct_bucket_exchange(ds, make_parts, bucket_of, nparts, reduce_parts, bat
         viols: list[list[pa.Table]] = [[] for _ in range(nparts)]
         convs: list[list[pa.Table]] = [[] for _ in range(nparts)]
         vproto = cproto = None
-        reordered = False
         for off in range(0, max(block.num_rows, 1), batch_size):
             viol_t, conv_t = make_parts(block.slice(off, batch_size))
             if vproto is None:
@@ -671,26 +680,15 @@ def _direct_bucket_exchange(ds, make_parts, bucket_of, nparts, reduce_parts, bat
                     order = np.argsort(b, kind="stable")
                     t = t.take(pa.array(order, pa.int64()))
                     b = b[order]
-                    reordered = True
                 bounds = np.searchsorted(b, np.arange(nparts + 1))
                 for i in range(nparts):
                     part = t.slice(bounds[i], bounds[i + 1] - bounds[i])
                     if part.num_rows:
                         acc[i].append(part)
+        # pieces are zero-copy slices: Ray's Arrow serializer truncates
+        # sliced buffers, so each piece ships only its own rows
         out = [pa.concat_tables(p) if p else vproto for p in viols]
         out += [pa.concat_tables(p) if p else cproto for p in convs]
-        if reordered:
-            # string slices pickle with their FULL data buffer (offsets
-            # are absolute), so a reordered batch would ship its whole
-            # string buffer to every bucket it feeds — gather each piece
-            # into tight buffers before it leaves the task.  The monotone
-            # path never pays this: each batch feeds ~1 bucket.
-            out = [
-                t.take(pa.array(np.arange(t.num_rows, dtype=np.int64)))
-                if t.num_rows
-                else t
-                for t in out
-            ]
         return tuple(out)
 
     @ray.remote

@@ -88,10 +88,14 @@ def _grouped_topk_merge(cands, k: int):
         out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
         return out[["query_id", "vec_id", "rank", "sim"]]
 
+    # the candidate stream is tiny ((k+1) rows per query per block) but
+    # derives from the full embedding table, so pick_num_buckets' input
+    # SIZE estimate wildly over-partitions it — pin a small bucket count
     return bucketed_map_groups(
         cands,
         ["query_id"],
         bucket_topk,
+        num_buckets=32,
         out_schema=pa.schema(
             [
                 ("query_id", pa.int64()),

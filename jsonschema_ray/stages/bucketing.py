@@ -109,10 +109,10 @@ def _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format):
     small-exchange regime (same pattern as the fused transcript plan's
     direct exchange — see validate_pipeline._direct_bucket_exchange).
 
-    One split task per input block gathers each bucket's rows into a
-    tight sub-table (``take`` from the block, never a slice: string
-    slices pickle with their FULL data buffer); one reduce task per
-    bucket concats its pieces and applies ``fn``.  Ray's sort-backed
+    One split task per input block sorts the block by bucket id once and
+    emits one zero-copy slice per bucket (Ray's Arrow serializer
+    truncates sliced buffers, so a slice ships only its own rows); one
+    reduce task per bucket concats its pieces and applies ``fn``.  Ray's sort-backed
     AllToAll pays seconds of fixed sample/barrier latency at sandbox data
     sizes; this moves the same bytes without it.  Gated to inputs under
     :data:`DIRECT_EXCHANGE_MAX_BYTES` and to callers that declare
@@ -134,14 +134,13 @@ def _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format):
             e = block.slice(0, 0)
             return tuple(e for _ in range(nb))
         b = bucket_ids(block)
-        order = np.argsort(b, kind="stable")
-        bounds = np.searchsorted(b[order], np.arange(nb + 1))
-        empty = block.slice(0, 0)
+        if b.size > 1 and not (b[1:] >= b[:-1]).all():
+            order = np.argsort(b, kind="stable")
+            block = block.take(pa.array(order, pa.int64()))
+            b = b[order]
+        bounds = np.searchsorted(b, np.arange(nb + 1))
         return tuple(
-            block.take(pa.array(order[bounds[i] : bounds[i + 1]], pa.int64()))
-            if bounds[i + 1] > bounds[i]
-            else empty
-            for i in range(nb)
+            block.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nb)
         )
 
     @ray.remote
@@ -218,6 +217,23 @@ def bucketed_map_groups(
     route = os.environ.get("GRAFT_BUCKETED_EXCHANGE", exchange)
     if route not in ("auto", "direct", "ray"):
         raise ValueError(f"unknown exchange route {route!r}")
+    if route == "direct" and out_schema is None:
+        if exchange == "direct":
+            # an explicit caller request that cannot be honored is an error
+            raise ValueError(
+                "exchange='direct' requires out_schema (an all-empty bucket "
+                "must return a typed block)"
+            )
+        # env-forced A/B sweep: say which call sites fall back so the
+        # measurement isn't silently mixed
+        import warnings
+
+        warnings.warn(
+            "GRAFT_BUCKETED_EXCHANGE=direct ignored for a caller without "
+            "out_schema; running the Dataset exchange",
+            stacklevel=2,
+        )
+        route = "ray"
     if route == "auto":
         sz = _plan_size_estimate(ds)
         route = (

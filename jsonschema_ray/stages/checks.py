@@ -208,6 +208,15 @@ def _ts_order_in_bucket(df: pd.DataFrame) -> pa.Table:
 
 
 def _run_bucket(df: pd.DataFrame, which: tuple[str, ...]) -> pa.Table:
+    # Rows with null conv_id/turn_idx are 'required' ROW violations — the
+    # conversation checks exclude them (same contract as the Arrow twin
+    # _run_bucket_table; without this, the contiguity kernel would emit
+    # rows with conv_id stringified to 'None').
+    keyed = df["conv_id"].notna() & df["turn_idx"].notna()
+    if not keyed.all():
+        # nullable ints float-promote through pandas; restore integer
+        # turn_idx after the filter so messages render "14", not "14.0"
+        df = df[keyed].assign(turn_idx=lambda d: d["turn_idx"].astype(np.int64))
     df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
     parts = []
     if "unique" in which:
@@ -254,7 +263,8 @@ def _run_bucket_table(t: pa.Table, which: tuple[str, ...]) -> pa.Table:
     all three conversation checks; per-violation Python exists only for
     the (few) gap/duplicate message strings.  Rows with null conv_id or
     turn_idx are excluded from the conversation checks (they are already
-    'required' row violations; pandas groupby dropped them likewise)."""
+    'required' row violations; :func:`_run_bucket` applies the same
+    filter so both kernels agree on null-keyed inputs)."""
     if t.num_rows == 0:
         return EMPTY_VIOLATIONS
     conv = t["conv_id"].combine_chunks()
@@ -353,6 +363,13 @@ def _run_bucket_table(t: pa.Table, which: tuple[str, ...]) -> pa.Table:
             shifted[k:] = bound[:-k]
             np.maximum(bound, np.where(same, shifted, _I64MIN), out=bound)
             k *= 2
+        # pandas-kernel parity (cummax leaves NaN AT an all-NaT group, so
+        # shift(1) hands the NEXT group a NaN bound): a group directly
+        # after an all-NaT group of the same conv is unchecked, while
+        # later groups resume against the running max
+        prev_all_nat = np.zeros(m, dtype=bool)
+        prev_all_nat[1:] = (gmax[:-1] == _I64MIN) & ~gfirst[1:]
+        bound[prev_all_nat] = _I64MIN
         row_bound = np.repeat(bound, gsz)
         bad = (ts_i < row_bound) & (ts_i != _I64MIN) & (row_bound != _I64MIN)
         pos = np.flatnonzero(bad)

@@ -122,18 +122,26 @@ def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str
         g["sum_value"] = g["sum_value"].round(6)
         return g[["user_id", "session_start", "n_events", "sum_value"]]
 
+    from .sampling import _input_schema
+
+    in_sch = _input_schema(ds)
+    # user_id keeps the INPUT column's type (string user keys worked
+    # before typed stamping and must keep working)
+    user_t = in_sch.field(user_col).type if in_sch is not None else None
     return bucketed_map_groups(
         ds.select_columns([user_col, ts_col, value_col]),
         [user_col],
         sessions_in_bucket,
         out_schema=pa.schema(
             [
-                ("user_id", pa.int64()),
+                ("user_id", user_t),
                 ("session_start", pa.timestamp("us")),
                 ("n_events", pa.int64()),
                 ("sum_value", pa.float64()),
             ]
-        ),
+        )
+        if user_t is not None
+        else None,
     )
 
 

@@ -401,11 +401,27 @@ def _random_conv_table(seed: int, n: int = 4000):
     ts = np.int64(1_700_000_000_000_000) + turn * 1_000_000
     jitter = rng.random(n) < 0.08
     ts[jitter] -= rng.integers(1, 10_000_000_000, size=int(jitter.sum()))
+    ts_arr = pa.array(ts, pa.timestamp("us"))
+    # NaT ts rows (incl. whole all-NaT turn groups): the order check's
+    # bound must skip them exactly like the pandas cummax kernel
+    nat = rng.random(n) < 0.03
+    conv_o = conv.astype(object)
+    if nat.any():
+        ts_py = ts_arr.to_pylist()
+        for i in np.flatnonzero(nat):
+            ts_py[i] = None
+        ts_arr = pa.array(ts_py, pa.timestamp("us"))
+    # null conv_id / turn_idx rows: excluded by BOTH kernels
+    turn_o = turn.astype(object)
+    nullc = rng.random(n) < 0.02
+    conv_o[nullc] = None
+    nullt = rng.random(n) < 0.02
+    turn_o[nullt] = None
     return pa.table(
         {
-            "conv_id": pa.array(conv, pa.string()),
-            "turn_idx": pa.array(turn.astype(np.int32)),
-            "ts": pa.array(ts, pa.timestamp("us")),
+            "conv_id": pa.array(conv_o, pa.string()),
+            "turn_idx": pa.array(turn_o, pa.int32()),
+            "ts": ts_arr,
         }
     )
 
@@ -687,3 +703,98 @@ def test_cosine_topk_many_queries_per_bucket(ray_session):
     want = set(np.argsort(-sims)[:3].tolist())
     got = set(out[out.query_id == qids[7]]["vec_id"].tolist())
     assert got == want
+
+
+def test_sessionize_string_user_keys(ray_session):
+    """sessionize must preserve a string user column's type through the
+    typed stamp (a hardcoded int64 out_schema would raise on cast)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.events import sessionize
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": ["alice", "alice", "bob", "alice"],
+            "ts": [
+                base,
+                base + pd.Timedelta(minutes=5),
+                base,
+                base + pd.Timedelta(hours=3),
+            ],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = (
+        sessionize(rd.from_pandas(df), gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == ["alice", "alice", "bob"]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["sum_value"].tolist() == [3.0, 4.0, 3.0]
+
+
+def test_maybe_coalesce_read_respects_explicit_read_config():
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import _maybe_coalesce_read
+
+    p = "/root/testdata/sf0.001/region.parquet"
+    explicit_blocks = rd.read_parquet(p, override_num_blocks=7)
+    assert _maybe_coalesce_read(explicit_blocks) is explicit_blocks
+    widened = rd.read_parquet(
+        p,
+        schema=pa.schema(
+            [
+                ("r_regionkey", pa.int64()),
+                ("r_name", pa.string()),
+                ("r_comment", pa.string()),
+            ]
+        ),
+    )
+    assert _maybe_coalesce_read(widened) is widened
+
+
+def test_bucketed_forced_direct_requires_out_schema(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.stages.bucketing import bucketed_map_groups
+
+    df = pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="out_schema"):
+        bucketed_map_groups(
+            rd.from_pandas(df),
+            ["k"],
+            lambda g: g,
+            exchange="direct",
+        )
+
+
+def test_queries_on_forced_ray_exchange(ray_session, monkeypatch):
+    """The Dataset AllToAll route is the production path above the size
+    gate — pin a few operators to it and compare against the direct
+    route so the at-scale plan stays covered by CI."""
+    monkeypatch.setenv("GRAFT_BUCKETED_EXCHANGE", "ray")
+    monkeypatch.setenv("GRAFT_FUSED1_EXCHANGE", "ray")
+    from jsonschema_ray.pipelines import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    ray_results = {
+        name: getattr(q, name)(sf) for name in ("q_exact_dedup", "q_top_events")
+    }
+    ray_results = {
+        k: (v.to_pandas() if hasattr(v, "to_pandas") else v)
+        for k, v in ray_results.items()
+    }
+    monkeypatch.setenv("GRAFT_BUCKETED_EXCHANGE", "direct")
+    monkeypatch.setenv("GRAFT_FUSED1_EXCHANGE", "direct")
+    for name, want in ray_results.items():
+        got = getattr(q, name)(sf)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        cols = list(want.columns)
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(cols).reset_index(drop=True),
+            want[cols].sort_values(cols).reset_index(drop=True),
+        )
