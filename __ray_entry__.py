@@ -109,8 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_frequent_tokens": q.q_frequent_tokens,
         "q_sample": q.q_sample,
         "q_resize_decode": q.q_resize_decode,
-        # rows-only (the stub embedder's random projection matrix is not
-        # SQL-expressible; pytest holds its oracle)
+        # oracle-checked since round 5: the stub embedder's projection
+        # matrix is exported to parquet and replayed in DuckDB
         "q_embed_dedup": q.q_embed_dedup,
     }
 
@@ -174,4 +174,5 @@ def oracle_sql() -> dict[str, str]:
         "q_frequent_tokens": q.FREQUENT_TOKENS_SQL,
         "q_sample": q.SAMPLE_SQL,
         "q_resize_decode": q.RESIZE_DECODE_SQL,
+        "q_embed_dedup": q.EMBED_DEDUP_SQL,
     }

@@ -1892,19 +1892,64 @@ WHERE doc_id = (SELECT MIN(doc_id) FROM documents x WHERE x.text = d.text)
 def q_embed_dedup(sf_dir: str):
     """End-to-end embed-then-near-dup pipeline: batched (stub) model
     inference in an actor pool → embedding-cosine duplicate pairs.
-    Rows-only: the embedder is a deterministic stand-in; pytest asserts
-    that identical texts embed identically and surface as sim≈1 pairs."""
+
+    Oracle-checked since round 5: the stub embedder accumulates in
+    float64 and its projection matrix is exported to parquet
+    (``projection_table_path``), so DuckDB recomputes the embedding
+    exactly — token hash (TOKHASH_SQL_MACROS) → projection-row join →
+    per-dim SUM → pairwise ``list_cosine_similarity`` (cosine is
+    scale-invariant, so the SQL skips the mean/normalize steps).
+    ``dtype="float64"`` keeps the stored vectors byte-exact vs the SQL's
+    double arithmetic."""
     import ray.data as rd
 
     from ..stages.dedup import embedding_dup_pairs
     from ..stages.model import embed_texts
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    emb = embed_texts(ds).map_batches(
+    emb = embed_texts(ds, dtype="float64").map_batches(
         lambda t: t.rename_columns(["vec_id", "embedding"]), batch_format="pyarrow"
     )
     # exact pinned for oracle determinism (see q_embedding_dups)
     return embedding_dup_pairs(emb, threshold=0.9, method="exact")
+
+
+def _embed_dedup_sql() -> str:
+    """DuckDB twin of q_embed_dedup — recomputes the stub embedding from
+    the exported projection matrix.  Normalization is skipped (cosine is
+    scale-invariant); both sides compute similarities in float64, so
+    ROUND(,6) agrees except on measure-zero rounding boundaries."""
+    from ..stages.model import projection_table_path
+    from ..stages.tokhash import TOKHASH_SQL_MACROS
+
+    proj = projection_table_path()
+    return (
+        TOKHASH_SQL_MACROS
+        + f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tok
+  FROM documents
+),
+tok_idx AS (
+  SELECT doc_id, CAST(tokhash(tok) % 256 AS BIGINT) AS tok_mod FROM toks
+),
+comps AS (
+  SELECT t.doc_id, p.dim, SUM(p.w) AS s
+  FROM tok_idx t JOIN read_parquet('{proj}') p USING (tok_mod)
+  GROUP BY t.doc_id, p.dim
+),
+emb AS (
+  SELECT doc_id, list(s ORDER BY dim) AS v FROM comps GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       ROUND(list_cosine_similarity(x.v, y.v), 6) AS sim
+FROM emb x JOIN emb y ON x.doc_id < y.doc_id
+WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+"""
+    )
+
+
+EMBED_DEDUP_SQL = _embed_dedup_sql()
 
 
 def q_role_tool_matrix(sf_dir: str):

@@ -329,9 +329,9 @@ def test_registry_is_exactly_fifty():
     qs = e.queries()
     oracles = e.oracle_sql()
     assert len(qs) == 50
-    # every query except the documented rows-only one has an oracle
-    assert set(qs) - set(oracles) == {"q_embed_dedup"}
-    assert set(oracles) <= set(qs)
+    # round 5: every registry entry has a DuckDB oracle (q_embed_dedup
+    # gained one via the exported projection matrix)
+    assert set(qs) == set(oracles)
 
 
 # -- text_metrics ≡ the four separate stages ----------------------------------
