@@ -30,6 +30,18 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 def _init_ray():
     import ray
 
+    # Quiet the per-concat "Failed to hash the schemas (for
+    # deduplication): unhashable type: 'dict'" WORKER warnings: the
+    # testdata parquet carries pandas schema metadata, which makes
+    # pyarrow Schemas unhashable and trips Ray's unify_schemas dedup on
+    # every worker.  The YAML keeps Ray Data's default config but holds
+    # the console handler at ERROR (full stream still reaches
+    # ray-data.log).  Must be in the environment BEFORE ray.init so
+    # local-mode workers inherit it.
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(__file__), "jsonschema_ray", "raydata_logging.yaml"),
+    )
     if not ray.is_initialized():
         ray.init(
             address="local",

@@ -88,6 +88,20 @@ def transcript_violations(
             stacklevel=2,
         )
     if fused and tuple(checks) == ALL_CHECKS and conv_strategy == "bucket":
+        # hot-conversation guard: a conversation too large for one reduce
+        # task (estimated from parquet footer statistics — no data IO) is
+        # excluded from the fused plan's conv exchange and checked by the
+        # skew-proof salted kernel instead
+        hot = _hot_conversations(ds, _hot_conv_threshold()) or frozenset()
+        if hot:
+            return _fused_with_hot_split(
+                ds,
+                hot,
+                schema_json=schema_json,
+                mode=mode,
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
         # single-exchange plan first (order-preserving range buckets from
         # parquet footer stats); falls back to hash buckets + final sort
         # when footer statistics are unavailable
@@ -262,6 +276,14 @@ def _maybe_coalesce_read(ds):
             return ds
         if getattr(src, "_partition_columns", None):
             return ds
+        # include_paths adds a column the re-issued read would drop —
+        # and the schema change would surface at EXECUTION time, outside
+        # this try/except — so leave such reads alone.  The resolved
+        # filesystem (possibly a custom authenticated one) and the
+        # partitioning are CARRIED THROUGH instead: both always exist on
+        # the installed Ray's ParquetDatasource, defaults included.
+        if getattr(src, "_include_paths", False):
+            return ds
         columns = getattr(src, "_data_columns", None)
         files = ds.input_files()
         if not files:
@@ -275,9 +297,165 @@ def _maybe_coalesce_read(ds):
         est = _plan_size_estimate(ds) or 0
         bpc = int(os.environ.get("GRAFT_READ_BLOCKS_PER_CPU", "2"))
         k = max(bpc * cpus, int(est // (256 << 20)) + 1)
-        return rd.read_parquet(files, columns=columns, override_num_blocks=k)
+        kwargs = {}
+        if getattr(src, "_filesystem", None) is not None:
+            kwargs["filesystem"] = src._filesystem
+        if getattr(src, "_partitioning", None) is not None:
+            kwargs["partitioning"] = src._partitioning
+        return rd.read_parquet(
+            files, columns=columns, override_num_blocks=k, **kwargs
+        )
     except Exception:
         return ds
+
+
+def _hot_conv_threshold() -> int:
+    return int(os.environ.get("GRAFT_HOT_CONV_ROWS", str(2_000_000)))
+
+
+_HOTCONV_CACHE: dict = {}
+
+
+def _hot_conversations(ds, hot_threshold: int):
+    """Conversations whose row count exceeds ``hot_threshold``, estimated
+    from parquet footer statistics only — no data IO.
+
+    A row group whose conv_id min == max lies entirely inside ONE
+    conversation, so summing such groups' row counts per value
+    lower-bounds that conversation's size (the two edge groups are
+    missed — an undercount of at most two row groups, irrelevant at
+    guard thresholds, and an undercount can only skip the guard for a
+    conversation a reduce task handles anyway).  At huge file counts
+    only an evenly spaced sample of files is examined: a conversation
+    big enough to endanger a reduce task spans many files, so the
+    sample still sees enough of it to cross the threshold, while a
+    conversation hiding inside one unsampled file is bounded by that
+    file's size — ordinary reduce-task fare.  Returns None when footer
+    statistics are unavailable (detection off; callers keep the plain
+    plan, matching the pre-guard behavior)."""
+    try:
+        files = ds.input_files()
+        if not files:
+            return None
+        key = (tuple(files), int(hot_threshold))
+        hit = _HOTCONV_CACHE.get(key)
+        if hit is not None:
+            return hit
+        import pyarrow.parquet as pq
+
+        MAX_FILES = 512
+        if len(files) > MAX_FILES:
+            pick = np.unique(np.linspace(0, len(files) - 1, MAX_FILES).astype(int))
+            files = [files[i] for i in pick]
+
+        def file_counts(f: str):
+            md = pq.read_metadata(f)
+            idx = md.schema.to_arrow_schema().get_field_index("conv_id")
+            if idx < 0:
+                return None
+            out = []
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                st = g.column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode(), mx.decode()
+                if mn == mx:
+                    out.append((mn, g.num_rows))
+            return out
+
+        if len(files) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+                per_file = list(ex.map(file_counts, files))
+        else:
+            per_file = [file_counts(files[0])]
+        if any(p is None for p in per_file):
+            return None
+        counts: dict[str, int] = {}
+        for per in per_file:
+            for conv, n in per:
+                counts[conv] = counts.get(conv, 0) + n
+        hot = frozenset(c for c, n in counts.items() if n > hot_threshold)
+        if len(_HOTCONV_CACHE) > 32:
+            _HOTCONV_CACHE.clear()
+        _HOTCONV_CACHE[key] = hot
+        return hot
+    except Exception:
+        return None
+
+
+def _fused_with_hot_split(
+    ds,
+    hot,
+    schema_json: str,
+    mode: str,
+    batch_size: int,
+    concurrency: int | None,
+):
+    """Degenerate-skew escape hatch for the fused headline plan.
+
+    Conversations in ``hot`` are excluded from the fused plan's conv
+    exchange (their ROW validations still run in the one main scan), and
+    their uniqueness/contiguity/order checks run through
+    :func:`~jsonschema_ray.stages.checks.conv_checks_salted`, whose
+    (conv_id, turn_idx // R) keying bounds every shuffle group.  Conv
+    checks are per-conversation independent, so partitioning the
+    conversations between the two kernels is exactly equivalent to one
+    kernel over all of them (differential:
+    tests/test_round5.py::test_hot_conversation_guard).  Costs one extra
+    filtered 3-column scan — only ever paid on degenerate inputs."""
+    import pyarrow.compute as pc
+
+    from ..stages.checks import conv_checks_salted
+
+    main = transcript_violations_fused1(
+        ds,
+        schema_json=schema_json,
+        mode=mode,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        exclude_convs=hot,
+    )
+    if main is None:
+        main = transcript_violations_fused(
+            ds,
+            schema_json=schema_json,
+            mode=mode,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            exclude_convs=hot,
+        )
+    hot_arr = pa.array(sorted(hot), pa.string())
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.is_in(t["conv_id"], value_set=hot_arr), False)
+        return t.filter(mask)
+
+    hot_keys = ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
+        keep_hot, batch_format="pyarrow", zero_copy_batch=True
+    )
+    salted = conv_checks_salted(hot_keys)
+    return main.union(salted).sort(["conv_id", "turn_idx", "keyword"])
+
+
+def _exclude_filter(exclude_convs):
+    """→ callable dropping rows whose conv_id is in the hot set (None when
+    no exclusion).  Null conv_ids are never dropped (fill_null False)."""
+    if not exclude_convs:
+        return None
+    import pyarrow.compute as pc
+
+    arr = pa.array(sorted(exclude_convs), pa.string())
+
+    def drop_hot(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.is_in(t["conv_id"], value_set=arr), False)
+        return t.filter(pc.invert(mask))
+
+    return drop_hot
 
 
 def transcript_violations_fused(
@@ -287,6 +465,7 @@ def transcript_violations_fused(
     batch_size: int = 65536,
     num_buckets: int | None = None,
     concurrency: int | None = None,
+    exclude_convs=None,
 ):
     """Single-scan twin of :func:`transcript_violations` (full check set,
     bucket strategy): the default plan's row branch and conv-check branch
@@ -346,6 +525,8 @@ def transcript_violations_fused(
         ]
         statics = rd.from_arrow(pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA))
 
+    drop_hot = _exclude_filter(exclude_convs)
+
     def fused_batch(batch: pa.Table) -> pa.Table:
         viol = validate_rows_batch(
             batch,
@@ -376,6 +557,8 @@ def transcript_violations_fused(
                 "_tag": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
+        if drop_hot is not None:
+            conv_t = drop_hot(conv_t)
         return pa.concat_tables([viol_t, conv_t])
 
     nb = pick_num_buckets(ds, num_buckets)
@@ -721,6 +904,7 @@ def transcript_violations_fused1(
     num_buckets: int | None = None,
     concurrency: int | None = None,
     exchange: str = "auto",
+    exclude_convs=None,
 ):
     """Single-EXCHANGE twin of :func:`transcript_violations_fused`.
 
@@ -801,6 +985,8 @@ def transcript_violations_fused1(
         )
         statics = rd.from_arrow(pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA))
 
+    drop_hot = _exclude_filter(exclude_convs)
+
     def fused_batch(batch: pa.Table) -> pa.Table:
         viol = validate_rows_batch(
             batch,
@@ -831,6 +1017,8 @@ def transcript_violations_fused1(
                 "_tag": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
+        if drop_hot is not None:
+            conv_t = drop_hot(conv_t)
         return pa.concat_tables([viol_t, conv_t])
 
     def make_parts(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
@@ -858,6 +1046,8 @@ def transcript_violations_fused1(
                 "ts": batch["ts"].cast(pa.timestamp("us")),
             }
         )
+        if drop_hot is not None:
+            conv_t = drop_hot(conv_t)
         return viol_t, conv_t
 
     def add_bucket(t: pa.Table) -> pa.Table:
