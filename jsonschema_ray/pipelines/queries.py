@@ -1738,6 +1738,9 @@ def q_ngram_counts(sf_dir: str):
 
     _EMPTY = pa.table({"gram": pa.array([], pa.string()), "_n": pa.array([], pa.int64())})
 
+    from ..stages.tokhash import wraparound_ok
+
+    @wraparound_ok
     def local_counts(t: pa.Table) -> pa.Table:
         # bigram hashes = polynomial combine of consecutive token hashes
         # (shared byte-buffer kernel, no per-row Python); counting is one
@@ -1745,7 +1748,6 @@ def q_ngram_counts(sf_dir: str):
         # strings (sliced straight from the byte buffer)
         from ..stages.tokhash import POLY_B, batch_token_hashes
 
-        np.seterr(over="ignore")  # uint64 wraparound IS the mixing
         th, sg, _ntok, lens, (starts, buf) = batch_token_hashes(
             t["text"], include_lens=True, include_spans=True
         )

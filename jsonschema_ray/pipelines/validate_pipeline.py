@@ -885,7 +885,10 @@ def _direct_bucket_exchange(ds, make_parts, bucket_of, nparts, reduce_parts, bat
             for bundle in ds.iter_internal_ref_bundles()
             for bref in bundle.block_refs
         ]
-    except Exception:
+    except Exception as err:
+        from ..stages.bucketing import _warn_direct_fallback
+
+        _warn_direct_fallback(err)
         return None
     if not splits:
         return None

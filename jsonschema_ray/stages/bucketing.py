@@ -31,6 +31,33 @@ __all__ = [
 
 _BUCKET_COL = "__bucket"
 
+# One-shot telemetry: the direct raw-task exchange rides Ray-private
+# surfaces (Dataset.iter_internal_ref_bundles, ds._logical_plan).  When a
+# Ray upgrade removes one, every pipeline silently lands on the (correct
+# but slower) AllToAll plan — warn ONCE so the degradation is visible.
+# Deliberately NOT fired when the size gate routes to AllToAll: that is
+# the designed behavior above DIRECT_EXCHANGE_MAX_BYTES.
+_DIRECT_FALLBACK_WARNED = False
+
+
+def _warn_direct_fallback(err: BaseException) -> None:
+    global _DIRECT_FALLBACK_WARNED
+    if _DIRECT_FALLBACK_WARNED:
+        return
+    _DIRECT_FALLBACK_WARNED = True
+    import warnings
+
+    warnings.warn(
+        "direct bucket exchange unavailable on this Ray version "
+        f"({type(err).__name__}: {err}); falling back to the streaming "
+        "AllToAll plan for ALL bucketed exchanges — correct but slower at "
+        "small exchange sizes. The engine is pinned to ray[data]==2.49.* "
+        "(pyproject.toml); re-validate the private-API surfaces after a "
+        "Ray upgrade.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
 # Above this estimated input size a direct (raw-task) exchange's
 # nblocks × nbuckets intermediate-object count stops being "a few hundred
 # small objects" and Ray's streaming AllToAll is the right plan.
@@ -166,7 +193,8 @@ def _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format):
             for bundle in ds.iter_internal_ref_bundles()
             for bref in bundle.block_refs
         ]
-    except Exception:
+    except Exception as err:
+        _warn_direct_fallback(err)
         return None
     if not splits:
         return None

@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .tokhash import wraparound_ok
+
 __all__ = [
     "exact_dedup",
     "shingle_rows",
@@ -122,13 +124,13 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
 _SHINGLE_P = np.uint64(1099511628211)
 
 
+@wraparound_ok
 def _batch_shingles(col, n: int) -> tuple[np.ndarray, np.ndarray]:
     """All docs' deduped shingle hashes in one pass over the Arrow string
     column's byte buffer (stages/tokhash.py — zero per-row Python): n-gram
     hashes formed by a vectorized polynomial combine of consecutive token
     hashes (no shingle strings are ever built).  → (hashes, seg_ids),
     segment-sorted (all of doc i's shingles contiguous)."""
-    np.seterr(over="ignore")  # uint64 wraparound IS the mixing
     from .tokhash import batch_token_hashes
 
     th, sg, _ntok = batch_token_hashes(col)

@@ -235,6 +235,44 @@ def hash_join(
     )
 
 
+# Tree-reduce fan-in for Bloom bitmap partials: each merge round ORs up to
+# this many n_bits/8-byte rows per task, and the driver's final take is
+# bounded by the same number — at 10⁵ input blocks the old driver-side OR
+# loop would have pulled 10⁵ × 1 MiB onto the driver.
+_BLOOM_FANIN = 32
+
+
+def _tree_reduce_or(partials_ds, n_words: int, fanin: int = _BLOOM_FANIN):
+    """→ (merged uint64[n_words], driver_rows): distributed OR-merge of a
+    dataset of ``bits`` binary rows (each ``n_words`` uint64 words).
+
+    Rounds of ``repartition → map_batches`` OR ≤``fanin`` rows per task
+    until at most ``fanin`` rows remain; only those reach the driver.
+    Rounds are O(log_fanin(blocks)); each round's ``materialize`` holds
+    1/fanin of the previous round's bytes."""
+    import math
+
+    def or_rows(t: pa.Table) -> pa.Table:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        for buf in t["bits"]:
+            bits |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = partials_ds.materialize()
+    n = merged.count()
+    while n > fanin:
+        merged = (
+            merged.repartition(max(1, math.ceil(n / fanin)))
+            .map_batches(or_rows, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        n = merged.count()
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for r in merged.take_all():
+        bloom |= np.frombuffer(r["bits"], dtype=np.uint64)
+    return bloom, n
+
+
 def _bloom_hashes(vals: np.ndarray, n_bits: int, k_hashes: int) -> np.ndarray:
     """(len(vals), k) bit positions via double hashing h1 + i·h2.
 
@@ -271,9 +309,10 @@ def bloom_semi_join(
     and false positives are resolved by the exact hash join that follows.
     At a selective right side this cuts the all-to-all exchange to the
     surviving rows; 1 MiB of filter replaces shuffling the non-matching
-    bulk.  Right-side partials shuffle nothing (driver OR at n_bits/8
-    bytes per batch; tree-reduce them when batches × size outgrows the
-    driver)."""
+    bulk.  Right-side partials shuffle nothing: they OR-merge in
+    distributed tree rounds of ≤``_BLOOM_FANIN`` rows each, so the
+    driver receives at most one fan-in of bitmap rows however many
+    input blocks the right side has."""
     import ray
 
     n_words = n_bits // 64
@@ -286,14 +325,10 @@ def bloom_semi_join(
             np.bitwise_or.at(bits, (pos >> 6).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
-    parts = (
-        right_ds.select_columns([on])
-        .map_batches(partial_bits, batch_format="pyarrow")
-        .take_all()
+    partials = right_ds.select_columns([on]).map_batches(
+        partial_bits, batch_format="pyarrow"
     )
-    bloom = np.zeros(n_words, dtype=np.uint64)
-    for r in parts:
-        bloom |= np.frombuffer(r["bits"], dtype=np.uint64)
+    bloom, _rows = _tree_reduce_or(partials, n_words)
     bref = ray.put(bloom)
 
     def prefilter(t: pa.Table) -> pa.Table:

@@ -60,6 +60,85 @@ def _try_pillow():
         return None
 
 
+class _MiniBMPImage:
+    """Decoded 24-bit BMP: (h, w, 3) uint8 pixel array + the PIL.Image
+    subset the stages call (.size, .resize, .save, context manager)."""
+
+    def __init__(self, px: np.ndarray) -> None:
+        self.px = px  # (h, w, 3) RGB
+
+    @property
+    def size(self) -> tuple[int, int]:
+        return (self.px.shape[1], self.px.shape[0])
+
+    def resize(self, wh: tuple[int, int], resample=None) -> "_MiniBMPImage":
+        w, h = wh  # nearest-neighbor — plumbing parity, not Lanczos quality
+        sy = (np.arange(h) * self.px.shape[0] // max(h, 1)).clip(0, self.px.shape[0] - 1)
+        sx = (np.arange(w) * self.px.shape[1] // max(w, 1)).clip(0, self.px.shape[1] - 1)
+        return _MiniBMPImage(self.px[sy][:, sx])
+
+    def save(self, fp, format: str = "BMP") -> None:
+        fp.write(_MiniBMP.encode(self.px))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _MiniBMP:
+    """Vendored pure-Python 24-bit-BMP codec exposing the ``PIL.Image``
+    call subset the decode/resize stages use — so the REAL-codec path is
+    exercised in CI even though this container ships no Pillow
+    (mode="bmp" on both stages; round-4 verdict item 4).  Not a Pillow
+    replacement: one pixel format, no compression."""
+
+    LANCZOS = None  # resample flags are accepted and ignored
+
+    @staticmethod
+    def open(fp) -> _MiniBMPImage:
+        data = fp.read()
+        if len(data) < 54 or data[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        off = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        if bpp != 24 or w <= 0 or h == 0:
+            raise ValueError(f"unsupported BMP (bpp={bpp}, {w}x{h})")
+        flip = h > 0  # positive height → rows stored bottom-up
+        h = abs(h)
+        stride = (3 * w + 3) & ~3
+        rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
+        px = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+        return _MiniBMPImage(px[::-1].copy() if flip else px.copy())
+
+    @staticmethod
+    def encode(px: np.ndarray) -> bytes:
+        h, w = px.shape[:2]
+        stride = (3 * w + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up BGR
+        size = 54 + rows.size
+        header = (
+            b"BM"
+            + size.to_bytes(4, "little")
+            + b"\0\0\0\0"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + rows.size.to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2
+            + (0).to_bytes(4, "little") * 2
+        )
+        return header + rows.tobytes()
+
+
 class DecodeStage:
     """Actor-pool decode: codec state initialised once per actor.
 
@@ -72,6 +151,8 @@ class DecodeStage:
     is codec-independent), silent fall back to the fake codec otherwise.
     ``mode="pillow"``/``"strict"``: require the real codec; raise
     ``NotImplementedError`` when Pillow is absent (as in this container).
+    ``mode="bmp"``: the vendored pure-Python 24-bit BMP codec
+    (:class:`_MiniBMP`) — the real-codec code path, dependency-free.
     """
 
     def __init__(self, mode: str = "fake", id_col: str = "doc_id") -> None:
@@ -83,10 +164,13 @@ class DecodeStage:
             if self.codec is None:
                 raise NotImplementedError(
                     "real image decode needs Pillow/libvips; this container "
-                    "ships neither — use mode='fake' for plumbing tests"
+                    "ships neither — use mode='fake' for plumbing tests or "
+                    "mode='bmp' for the vendored codec"
                 )
         elif mode == "auto":
             self.codec = _try_pillow()
+        elif mode == "bmp":
+            self.codec = _MiniBMP
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import io
@@ -148,15 +232,19 @@ class ResizeStage:
 
     def __init__(self, width: int = 224, height: int = 224, id_col: str = "doc_id", mode: str = "fake"):
         self.w, self.h, self.id_col = width, height, id_col
+        self.mode = mode
         self.codec = None
         if mode in ("pillow", "strict"):
             self.codec = _try_pillow()
             if self.codec is None:
                 raise NotImplementedError(
-                    "real image resize needs Pillow; use mode='fake'"
+                    "real image resize needs Pillow; use mode='fake' or "
+                    "the vendored mode='bmp'"
                 )
         elif mode == "auto":
             self.codec = _try_pillow()
+        elif mode == "bmp":
+            self.codec = _MiniBMP
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import io
@@ -170,7 +258,9 @@ class ResizeStage:
             if self.codec is not None:
                 with self.codec.open(io.BytesIO(p)) as im:
                     buf = io.BytesIO()
-                    im.resize((self.w, self.h)).save(buf, format="PNG")
+                    im.resize(
+                        (self.w, self.h), resample=self.codec.LANCZOS
+                    ).save(buf, format="PNG")
                 out.append(buf.getvalue())
                 continue
             reps = target // len(p) + 1

@@ -68,7 +68,7 @@ def quality_scores(ds, text_col="text", id_col="doc_id", stopwords=STOPWORDS):
     membership is an ``np.isin`` against the hashed stopword set, token
     length is the byte length (== codepoint length for ASCII corpora, the
     unit the SQL oracle uses)."""
-    from .tokhash import batch_token_hashes, hash_words
+    from .tokhash import batch_token_hashes, hash_words, wraparound_ok
 
     stop_h = np.sort(hash_words(sorted(set(stopwords))))
 
@@ -102,7 +102,7 @@ def quality_filter(
     """Drop rows failing the quality gate, in-place per batch — the same
     metrics as :func:`quality_scores`, but no separate dataset and no
     join back (a curation pipeline wants surviving ROWS, not scores)."""
-    from .tokhash import batch_token_hashes, hash_words
+    from .tokhash import batch_token_hashes, hash_words, wraparound_ok
 
     stop_h = np.sort(hash_words(sorted(set(stopwords))))
 
@@ -173,9 +173,10 @@ def fingerprints(ds, text_col="text", id_col="doc_id", window: int = 16):
     # vectorized prefix-sum difference instead of a per-character loop —
     # H(j) = (pref[j+w] - pref[j]) * B^(j+w-1) where pref[j] = Σ cps[k]·B^(-k)
     binv = np.uint64(pow(int(_RK_BASE), -1, 1 << 64))
+    from .tokhash import wraparound_ok
 
+    @wraparound_ok
     def fp(t: pa.Table) -> pa.Table:
-        np.seterr(over="ignore")  # uint64 wraparound IS the mod-2^64 hash
         texts = t[text_col].to_pylist()
         full = np.zeros(len(texts), dtype=np.uint64)
         minw = np.zeros(len(texts), dtype=np.uint64)
@@ -281,10 +282,10 @@ def repetition_scores(ds, n: int = 3, text_col="text", id_col="doc_id"):
     matching the shingle convention in stages/dedup.py."""
     from .bucketing import group_bounds
     from .dedup import _batch_shingles
-    from .tokhash import batch_token_hashes
+    from .tokhash import batch_token_hashes, wraparound_ok
 
+    @wraparound_ok
     def score(t: pa.Table) -> pa.Table:
-        np.seterr(over="ignore")  # uint64 wraparound IS the mixing
         n_docs = t.num_rows
         th, sg, ntok = batch_token_hashes(t[text_col])
         top = np.zeros(n_docs, dtype=np.float64)
@@ -356,7 +357,7 @@ def text_metrics(ds, n: int = 3, stopwords=STOPWORDS, markers=None, text_col="te
     ``map_batches`` pass over the byte-buffer token kernel, no shuffle."""
     from .bucketing import group_bounds
     from .dedup import _batch_shingles
-    from .tokhash import batch_token_hashes, hash_words
+    from .tokhash import batch_token_hashes, hash_words, wraparound_ok
 
     stop_h = np.sort(hash_words(sorted(set(stopwords))))
     markers = markers or LANG_MARKERS
@@ -364,8 +365,8 @@ def text_metrics(ds, n: int = 3, stopwords=STOPWORDS, markers=None, text_col="te
     marker_h = {lang: np.sort(hash_words(sorted(set(markers[lang])))) for lang in langs}
     lang_arr = np.asarray(langs, dtype=object)
 
+    @wraparound_ok
     def metrics(t: pa.Table) -> pa.Table:
-        np.seterr(over="ignore")  # uint64 wraparound IS the mixing
         n_docs = t.num_rows
         th, sg, ntok, lens = batch_token_hashes(t[text_col], include_lens=True)
         denom = np.maximum(ntok, 1).astype(np.float64)

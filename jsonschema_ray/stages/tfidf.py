@@ -50,7 +50,7 @@ def tfidf_top_terms(ds, k: int = 5, n_docs: int | None = None, text_col="text", 
     denominator; pass it when known (a parquet count is metadata-only),
     else it is taken from ``ds.count()``."""
     from .bucketing import bucketed_map_groups, col_np, group_bounds
-    from .tokhash import batch_token_hashes, spans_to_strings
+    from .tokhash import batch_token_hashes, spans_to_strings, wraparound_ok
 
     if n_docs is None:
         n_docs = ds.count()
@@ -60,8 +60,8 @@ def tfidf_top_terms(ds, k: int = 5, n_docs: int | None = None, text_col="text", 
         [("term", pa.string()), ("doc_id", pa.int64()), ("tf", pa.int64())]
     )
 
+    @wraparound_ok
     def tf_rows(t: pa.Table) -> pa.Table:
-        np.seterr(over="ignore")  # uint64 wraparound IS the mixing
         ids = col_np(t, id_col).astype(np.int64)
         th, sg, _ntok, lens, (starts, buf) = batch_token_hashes(
             t[text_col], include_lens=True, include_spans=True
@@ -167,7 +167,7 @@ def bm25_topk(
     from the corpus scan, since no caller can supply a token total
     without scanning."""
     from .bucketing import bucketed_map_groups, col_np, group_bounds
-    from .tokhash import batch_token_hashes, hash_words
+    from .tokhash import batch_token_hashes, hash_words, wraparound_ok
 
     q_terms = _query_terms(query)
     if not q_terms:
@@ -201,8 +201,8 @@ def bm25_topk(
         ]
     )
 
+    @wraparound_ok
     def tf_rows(t: pa.Table) -> pa.Table:
-        np.seterr(over="ignore")
         ids = col_np(t, id_col).astype(np.int64)
         th, sg, ntok = batch_token_hashes(t[text_col])
         if len(th) == 0:
@@ -316,7 +316,7 @@ def bm25_topk_multi(
     per-query top-``k``.  Per-query cost is the posting lists of ITS
     terms, never the corpus."""
     from .bucketing import bucketed_map_groups, col_np, group_bounds
-    from .tokhash import batch_token_hashes, hash_words
+    from .tokhash import batch_token_hashes, hash_words, wraparound_ok
 
     q_ids = sorted(queries)
     if not q_ids:
@@ -357,8 +357,8 @@ def bm25_topk_multi(
         ]
     )
 
+    @wraparound_ok
     def tf_rows(t: pa.Table) -> pa.Table:
-        np.seterr(over="ignore")
         ids = col_np(t, id_col).astype(np.int64)
         th, sg, ntok = batch_token_hashes(t[text_col])
         if len(th) == 0:

@@ -31,9 +31,26 @@ __all__ = [
     "hash_strings",
     "spans_to_strings",
     "mix64",
+    "wraparound_ok",
     "TOKHASH_SQL_MACROS",
     "POLY_B",
 ]
+
+
+def wraparound_ok(fn):
+    """Run ``fn`` with numpy overflow warnings suppressed — uint64
+    wraparound IS the mod-2^64 hash arithmetic throughout this package.
+    Scoped via ``np.errstate`` (saved/restored around the call) so the
+    process-global numpy error state is never mutated and genuine
+    overflow warnings in unrelated code stay visible."""
+    import functools
+
+    @functools.wraps(fn)
+    def inner(*args, **kwargs):
+        with np.errstate(over="ignore"):
+            return fn(*args, **kwargs)
+
+    return inner
 
 POLY_B = np.uint64(1099511628211)  # odd → invertible mod 2^64
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -215,6 +232,7 @@ def _poly_hash_spans_blocked(
     return mix64(out)
 
 
+@wraparound_ok
 def hash_strings(col) -> np.ndarray:
     """→ uint64[n]: content hash of each row's FULL string bytes, straight
     off the Arrow data buffer (each row is one span for the polynomial
@@ -223,7 +241,6 @@ def hash_strings(col) -> np.ndarray:
     and the streaming index, where the hash only needs to be
     deterministic, not SQL-replicable (their oracles group by the text
     itself)."""
-    np.seterr(over="ignore")  # uint64 wraparound IS the mod-2^64 hash
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if arr.null_count:
         arr = arr.fill_null("")
@@ -231,10 +248,10 @@ def hash_strings(col) -> np.ndarray:
     return _poly_hash_spans_blocked(data, offsets[:-1], np.diff(offsets))
 
 
+@wraparound_ok
 def hash_words(words) -> np.ndarray:
     """Token hashes of a small Python word list (stopword / marker sets)
     — byte-identical to :func:`batch_token_hashes` on the same words."""
-    np.seterr(over="ignore")  # uint64 wraparound IS the mod-2^64 hash
     out = np.empty(len(words), dtype=np.uint64)
     for i, w in enumerate(words):
         h = np.uint64(0)

@@ -135,7 +135,7 @@ def test_shard_state_merge_threshold(monkeypatch):
     for lo in range(0, 40, 5):
         st.check_and_add(np.arange(lo, lo + 5, dtype=np.uint64))
     assert st.size() == 40
-    assert len(st.pending) < 8
+    assert st.pending_n < 8  # round 5: pending is a run list, not one array
     out = st.check_and_add(np.array([0, 39, 1000], dtype=np.uint64))
     assert out.tolist() == [False, False, True]
 

@@ -161,6 +161,208 @@ def test_coalesce_read_leaves_configured_reads_alone(ray_session):
     assert out.count() == withfs.count()
 
 
+def test_bloom_tree_reduce_bounds_driver_rows(ray_session):
+    """Many partial blocks OR-merge in distributed rounds: the driver
+    takes at most one fan-in of bitmap rows, and the merged filter is
+    bit-identical to the naive OR of every partial."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.joins import _tree_reduce_or
+
+    n_words = 64
+    rng = np.random.default_rng(7)
+    rows = [rng.integers(0, 2**63, n_words, dtype=np.uint64) for _ in range(200)]
+    naive = np.zeros(n_words, dtype=np.uint64)
+    for r in rows:
+        naive |= r
+    partials = rd.from_arrow(
+        pa.table({"bits": pa.array([r.tobytes() for r in rows], pa.binary())})
+    ).repartition(200)  # force one row per block — the 10⁵-block shape
+    merged, driver_rows = _tree_reduce_or(partials, n_words, fanin=8)
+    assert driver_rows <= 8
+    np.testing.assert_array_equal(merged, naive)
+
+
+def test_bloom_semi_join_still_correct(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.stages.joins import bloom_semi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": list(range(1000)), "v": [f"x{i}" for i in range(1000)]})
+    ).repartition(17)
+    right = rd.from_arrow(pa.table({"k": [3, 500, 999, 12345]})).repartition(9)
+    out = bloom_semi_join(left, right, on="k", left_cols=["v"]).to_pandas()
+    assert sorted(out["k"]) == [3, 500, 999]
+
+
+def test_shard_state_runs_match_set_reference(monkeypatch):
+    """Run-list pending (no per-batch O(P) union) gives the same verdicts
+    as a Python-set reference across many batches with cross-batch dups,
+    exercising both consolidation thresholds."""
+    from jsonschema_ray.stages import streaming as st
+
+    monkeypatch.setattr(st, "_MERGE_THRESHOLD", 257)
+    monkeypatch.setattr(st, "_MAX_RUNS", 3)
+    state = st._ShardState()
+    seen: set[int] = set()
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        keys = np.unique(rng.integers(0, 500, rng.integers(1, 60), dtype=np.uint64))
+        got = state.check_and_add(keys)
+        want = np.array([int(k) not in seen for k in keys])
+        np.testing.assert_array_equal(got, want)
+        seen.update(int(k) for k in keys)
+    assert state.size() == len(seen)
+    np.testing.assert_array_equal(state.snapshot(), np.sort(np.fromiter(seen, np.uint64)))
+
+
+def test_shard_state_spill_is_disk_backed(tmp_path, monkeypatch):
+    """With spill_dir the base is a memmap: merges stream to .npy files,
+    superseded generations are reclaimed, and save() round-trips."""
+    from jsonschema_ray.stages import streaming as st
+
+    monkeypatch.setattr(st, "_MERGE_THRESHOLD", 1000)
+    spill = str(tmp_path / "spill")
+    state = st._ShardState(spill_dir=spill)
+    rng = np.random.default_rng(3)
+    seen: set[int] = set()
+    for _ in range(12):
+        keys = np.unique(rng.integers(0, 10_000, 400, dtype=np.uint64))
+        got = state.check_and_add(keys)
+        want = np.array([int(k) not in seen for k in keys])
+        np.testing.assert_array_equal(got, want)
+        seen.update(int(k) for k in keys)
+    assert isinstance(state.base, np.memmap)  # merged to disk at least once
+    import os
+
+    gens = [f for f in os.listdir(spill) if f.startswith("base-")]
+    assert len(gens) == 1  # old generations reclaimed
+    out = str(tmp_path / "snap.npy")
+    n = state.save(out)
+    assert n == len(seen)
+    np.testing.assert_array_equal(np.load(out), np.sort(np.fromiter(seen, np.uint64)))
+    # restore from the saved file via memmap, keep inserting
+    state2 = st._ShardState(np.load(out, mmap_mode="r"), spill_dir=spill)
+    fresh = state2.check_and_add(np.array([10_001, 10_002], dtype=np.uint64))
+    assert fresh.all()
+    dup = state2.check_and_add(np.array([10_001], dtype=np.uint64))
+    assert not dup.any()
+
+
+def test_shard_state_spill_bounded_heap():
+    """20M keys (160 MB of index) through a spill-backed shard in a fresh
+    subprocess: the ANONYMOUS heap (VmData — what an actor can actually
+    exhaust; resident file-backed pages are OS-reclaimable) stays far
+    below the index size, because the base lives in .npy files and heap
+    holds only the pending runs."""
+    import subprocess
+    import sys
+
+    script = r"""
+import numpy as np, sys
+sys.path.insert(0, "/root/repo")
+from jsonschema_ray.stages.streaming import _ShardState
+
+def vmdata_kb():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmData:"):
+                return int(line.split()[1])
+
+state = _ShardState(spill_dir=sys.argv[1])
+rng = np.random.default_rng(5)
+base_kb = vmdata_kb()
+total = 0
+for i in range(40):
+    keys = rng.integers(0, 1 << 62, 500_000, dtype=np.uint64)
+    total += int(state.check_and_add(np.unique(keys)).sum())
+after_kb = vmdata_kb()
+print(state.size(), total, (after_kb - base_kb) // 1024, "MB heap growth")
+assert state.size() == total
+assert isinstance(state.base, np.memmap)
+# index holds ~160 MB of keys; anonymous heap growth must stay well under
+assert (after_kb - base_kb) < 100 * 1024, (after_kb - base_kb)
+"""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        res = subprocess.run(
+            [sys.executable, "-c", script, d], capture_output=True, text=True
+        )
+    assert res.returncode == 0, res.stderr + res.stdout
+
+
+def test_direct_fallback_warns_once(ray_session, monkeypatch):
+    """When the Ray-private direct-exchange surface disappears (as a Ray
+    upgrade could make it), the engine emits ONE RuntimeWarning and every
+    bucketed exchange still returns correct output via the AllToAll plan."""
+    import warnings
+
+    import ray.data as rd
+
+    from jsonschema_ray.stages import bucketing as bk
+    from jsonschema_ray.stages.dedup import exact_dedup
+
+    def boom(self):
+        raise AttributeError("iter_internal_ref_bundles removed")
+
+    monkeypatch.setattr(rd.Dataset, "iter_internal_ref_bundles", boom)
+    monkeypatch.setattr(bk, "_DIRECT_FALLBACK_WARNED", False)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "a", "c"]})
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = exact_dedup(ds, key="text").to_pandas()
+        # second exchange in the same process: no second warning
+        out2 = exact_dedup(ds, key="text").to_pandas()
+    hits = [w for w in caught if "direct bucket exchange unavailable" in str(w.message)]
+    assert len(hits) == 1 and issubclass(hits[0].category, RuntimeWarning)
+    assert sorted(out["doc_id_kept"]) == [1, 2, 4]
+    assert sorted(out2["doc_id_kept"]) == [1, 2, 4]
+
+
+def test_real_codec_path_decodes_bmp(ray_session):
+    """The REAL-codec branch of DecodeStage/ResizeStage runs in CI via the
+    vendored pure-Python BMP codec: real header parse, real pixel
+    decode, real re-encode — no Pillow required."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.multimodal import (
+        _MiniBMP,
+        decode_features,
+        resize,
+    )
+
+    rng = np.random.default_rng(9)
+    imgs = {1: rng.integers(0, 256, (5, 7, 3), np.uint8),
+            2: rng.integers(0, 256, (16, 3, 3), np.uint8)}
+    # encode → open round-trip is pixel-exact
+    for px in imgs.values():
+        import io
+
+        back = _MiniBMP.open(io.BytesIO(_MiniBMP.encode(px)))
+        np.testing.assert_array_equal(back.px, px)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(imgs),
+                "payload": pa.array([_MiniBMP.encode(px) for px in imgs.values()], pa.binary()),
+            }
+        )
+    )
+    feats = decode_features(ds, mode="bmp").to_pandas().set_index("doc_id")
+    assert (feats.loc[1, "width"], feats.loc[1, "height"]) == (7, 5)
+    assert (feats.loc[2, "width"], feats.loc[2, "height"]) == (3, 16)
+    out = resize(ds, width=4, height=6, mode="bmp").to_pandas().set_index("doc_id")
+    import io
+
+    for i in imgs:
+        im = _MiniBMP.open(io.BytesIO(out.loc[i, "payload"]))
+        assert im.size == (4, 6)
+
+
 def test_embed_dedup_projection_export_roundtrip():
     import pyarrow.parquet as pq2
 
