@@ -347,20 +347,46 @@ class MinHasher:
                 sig[nonempty, c0 : c0 + self._CHUNK] = np.minimum.reduceat(
                     prod, starts, axis=0
                 )
+        # one flat buffer + FixedSizeList wrapper — no per-row Python list
+        flat = pa.array(sig.astype(np.int64).reshape(-1))
         return pa.table(
             {
                 "doc_id": pa.array(ids.astype(np.int64)),
-                "sig": pa.array(list(sig.astype(np.int64))),
+                "sig": pa.FixedSizeListArray.from_arrays(flat, self.k),
             }
         )
 
 
-def minhash_signatures(ds, k: int = 128, n: int = 3, concurrency=(1, 8)):
+_MINHASHER_CACHE: dict = {}
+
+
+def _minhash_batch(t: pa.Table, k: int, n: int, text_col: str, id_col: str) -> pa.Table:
+    # per-WORKER MinHasher cache: same compile-once amortization as an
+    # actor pool (permutation params + reusable fault-warm buffers) with
+    # none of the per-run pool spin-up, which dominated second-scale runs
+    key = (k, n, text_col, id_col)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = _MINHASHER_CACHE[key] = MinHasher(k, n, text_col=text_col, id_col=id_col)
+    return mh(t)
+
+
+def minhash_signatures(ds, k: int = 128, n: int = 3, concurrency=None):
+    """→ Dataset (doc_id, sig list<int64>[k]).  Stateless tasks + worker
+    cache by default; pass ``concurrency`` for an explicit actor pool
+    (useful when the permutation state should pin to a fixed pool)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            MinHasher,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_kwargs=dict(k=k, n=n),
+        )
     return ds.map_batches(
-        MinHasher,
+        _minhash_batch,
         batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(k=k, n=n),
+        zero_copy_batch=True,
+        fn_kwargs=dict(k=k, n=n, text_col="text", id_col="doc_id"),
     )
 
 
@@ -413,7 +439,17 @@ def minhash_lsh_pairs(
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
-        m = np.vstack(t["sig"].to_pylist()).astype(np.uint64) if t.num_rows else np.empty((0, k), np.uint64)
+        if t.num_rows:
+            # flat-buffer reshape (works for fixed-size and variable lists)
+            arr = t["sig"].combine_chunks()
+            m = (
+                arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+                .reshape(t.num_rows, k)
+            )
+        else:
+            m = np.empty((0, k), np.uint64)
         out_band, out_hash, out_id = [], [], []
         for bi in range(bands):
             chunk = m[:, bi * r : (bi + 1) * r]
