@@ -75,9 +75,19 @@ def transcript_violations(
     instead of two, measured 2-3.3× faster at the compute-bound scale
     (BASELINE.md, single-scan fusion A/B).  ``fused=False`` forces the
     two-scan plan (the A/B baseline)."""
+    conv_only = "rows" not in checks and set(checks) == {
+        "referential",
+        "unique",
+        "contiguity",
+        "order",
+    }
     if fused is None:
-        fused = tuple(checks) == ALL_CHECKS and conv_strategy == "bucket"
-    elif fused and not (tuple(checks) == ALL_CHECKS and conv_strategy == "bucket"):
+        fused = (
+            tuple(checks) == ALL_CHECKS or conv_only
+        ) and conv_strategy == "bucket"
+    elif fused and not (
+        (tuple(checks) == ALL_CHECKS or conv_only) and conv_strategy == "bucket"
+    ):
         # explicit fused=True with parameters the fused plans cannot
         # express — say so instead of silently running the two-scan plan
         import warnings
@@ -121,6 +131,24 @@ def transcript_violations(
             batch_size=batch_size,
             concurrency=concurrency,
         )
+    if fused and conv_only and conv_strategy == "bucket":
+        # conv-checks-only fused route: same single-exchange plan with
+        # the keyword pass swapped for the per-batch referential kernel —
+        # one scan + one exchange instead of two scans + hash exchange +
+        # final sort.  A degenerate (hot) conversation or missing footer
+        # stats fall through to the parts plan below.
+        hot = _hot_conversations(ds, _hot_conv_threshold()) or frozenset()
+        if not hot:
+            one = transcript_violations_fused1(
+                ds,
+                schema_json=schema_json,
+                mode=mode,
+                batch_size=batch_size,
+                concurrency=concurrency,
+                keywords=False,
+            )
+            if one is not None:
+                return one
     parts = []
     fold_referential = "rows" in checks and "referential" in checks
     if "rows" in checks:
@@ -908,8 +936,17 @@ def transcript_violations_fused1(
     concurrency: int | None = None,
     exchange: str = "auto",
     exclude_convs=None,
+    keywords: bool = True,
 ):
     """Single-EXCHANGE twin of :func:`transcript_violations_fused`.
+
+    ``keywords=False`` runs the CONV-CHECKS-ONLY configuration
+    (referential + unique + contiguity + order, no per-row keyword
+    plan): referential violations are computed per input batch in the
+    same scan and ride the same order-preserving conv exchange, so the
+    checks-only pipeline pays one scan + one exchange instead of the
+    two-scan union + hash exchange + final sort of the parts plan
+    (6M turns / 32 cpus: 5.3 s → ~1 s).
 
     The two-exchange fused plan hash-buckets the tagged stream (all-to-all
     #1) and then sorts the violations (all-to-all #2).  Here the bucket
@@ -938,12 +975,26 @@ def transcript_violations_fused1(
         arrow_schema = pa.schema(list(zip(sch.names, sch.types)))
     except Exception:
         arrow_schema = TRANSCRIPT_ARROW_SCHEMA
-    try:
-        plan = compile_plan(_parse(schema_json), arrow_schema)
-    except UnsupportedPlanError:
-        return None
-    if plan is None:
-        return None
+    plan = None
+    if keywords:
+        try:
+            plan = compile_plan(_parse(schema_json), arrow_schema)
+        except UnsupportedPlanError:
+            return None
+        if plan is None:
+            return None
+    project_cols = None
+    if not keywords:
+        # checks-only scan needs 5 of the 6 transcript columns — drop the
+        # rest (text) before the exchange so the payload bytes never ride
+        # it.  The projection is applied AFTER the range bucketer below:
+        # select_columns hides input_files() from the footer-stat reader.
+        need = ["conv_id", "turn_idx", "role", "tool", "ts"]
+        names = set(arrow_schema.names)
+        if not set(need) <= names:
+            return None
+        if names - set(need):
+            project_cols = need
 
     route = os.environ.get("GRAFT_FUSED1_EXCHANGE", exchange)
     if route not in ("auto", "direct", "ray"):
@@ -976,9 +1027,11 @@ def transcript_violations_fused1(
     bucket_of = _conv_range_bucketer(ds, nb)
     if bucket_of is None:
         return None
+    if project_cols is not None:
+        ds = ds.select_columns(project_cols)
 
     statics = None
-    if plan.static_violations:
+    if plan is not None and plan.static_violations:
         rows = sorted(
             (
                 {"conv_id": "", "turn_idx": -1, "keyword": kw, "message": msg}
@@ -989,14 +1042,19 @@ def transcript_violations_fused1(
         statics = rd.from_arrow(pa.Table.from_pylist(rows, schema=VIOLATION_PA_SCHEMA))
 
     drop_hot = _exclude_filter(exclude_convs)
+    from ..stages.checks import referential_batch
 
     def fused_batch(batch: pa.Table) -> pa.Table:
-        viol = validate_rows_batch(
-            batch,
-            schema_json=schema_json,
-            arrow_schema=arrow_schema,
-            mode=mode,
-            with_referential=True,
+        viol = (
+            validate_rows_batch(
+                batch,
+                schema_json=schema_json,
+                arrow_schema=arrow_schema,
+                mode=mode,
+                with_referential=True,
+            )
+            if keywords
+            else referential_batch(batch)
         )
         nv = viol.num_rows
         n = batch.num_rows
@@ -1027,12 +1085,16 @@ def transcript_violations_fused1(
     def make_parts(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
         # direct-exchange twin of fused_batch: the two streams stay
         # separate, so neither ships the other's null-padded columns
-        viol = validate_rows_batch(
-            batch,
-            schema_json=schema_json,
-            arrow_schema=arrow_schema,
-            mode=mode,
-            with_referential=True,
+        viol = (
+            validate_rows_batch(
+                batch,
+                schema_json=schema_json,
+                arrow_schema=arrow_schema,
+                mode=mode,
+                with_referential=True,
+            )
+            if keywords
+            else referential_batch(batch)
         )
         viol_t = pa.table(
             {

@@ -373,3 +373,79 @@ def test_embed_dedup_projection_export_roundtrip():
     assert t.num_rows == 256 * 64
     w = t["w"].to_numpy().reshape(256, 64)
     np.testing.assert_array_equal(w, _projection())  # bit-exact round-trip
+
+
+CONV_ONLY = ("referential", "unique", "contiguity", "order")
+
+
+@pytest.mark.parametrize("route", ["direct", "ray"])
+def test_conv_only_fused_route_matches_parts_plan(
+    ray_session, planted_parquet, monkeypatch, route
+):
+    """The checks-only configuration auto-routes onto the single-exchange
+    fused1 plan (keywords=False): same violation multiset as the two-scan
+    parts plan on both exchange routes, and the projection applied after
+    the range bucketer (select_columns hides input_files) keeps the route
+    live rather than silently falling back."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+    from jsonschema_ray.pipelines.validate_pipeline import (
+        transcript_violations_fused1,
+    )
+
+    monkeypatch.setenv("GRAFT_FUSED1_EXCHANGE", route)
+    key = ["conv_id", "turn_idx", "keyword", "message"]
+    got = (
+        transcript_violations(rd.read_parquet(planted_parquet), checks=CONV_ONLY)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        transcript_violations(
+            rd.read_parquet(planted_parquet), checks=CONV_ONLY, fused=False
+        )
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and got.equals(want)
+    assert set(got["keyword"]) >= {"uniqueItems", "contiguity", "order"}
+    # the fused1 keywords=False plan is reachable (bucketer found footer
+    # stats) — i.e. the equality above really exercised the fused route
+    assert (
+        transcript_violations_fused1(
+            rd.read_parquet(planted_parquet), keywords=False
+        )
+        is not None
+    )
+
+
+def test_conv_only_fused_skips_on_hot_conversation(
+    ray_session, planted_parquet, monkeypatch
+):
+    """A degenerate conversation (footer-estimated) keeps the checks-only
+    configuration on the parts plan — same rows either way."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+
+    monkeypatch.setenv("GRAFT_HOT_CONV_ROWS", "20000")
+    key = ["conv_id", "turn_idx", "keyword", "message"]
+    got = (
+        transcript_violations(rd.read_parquet(planted_parquet), checks=CONV_ONLY)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    monkeypatch.delenv("GRAFT_HOT_CONV_ROWS")
+    want = (
+        transcript_violations(
+            rd.read_parquet(planted_parquet), checks=CONV_ONLY, fused=False
+        )
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and got.equals(want)
