@@ -240,6 +240,14 @@ def big() -> None:
     )
     timings["validate_clean_twoscan"] = round(sec_c, 3)
 
+    # routed checks-only pipeline (single-exchange fused1, keywords=False)
+    s1, _ = _timed(
+        lambda: transcript_violations(
+            rd.read_parquet(path),
+            checks=("referential", "unique", "contiguity", "order"),
+        ).count()
+    )
+    timings["conv_checks_fused"] = round(s1, 3)
     s2, _ = _timed(lambda: conv_checks_violations(rd.read_parquet(path)).count())
     timings["conv_checks_bucket"] = round(s2, 3)
     s3, _ = _timed(lambda: conv_checks_salted(rd.read_parquet(path)).count())
