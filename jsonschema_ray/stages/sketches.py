@@ -121,28 +121,41 @@ class TDigest:
         return (self.delta / (2 * np.pi)) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
 
     def _compress(self) -> None:
-        if len(self.means) == 0:
+        # Greedy k1 merge, but iterated per OUTPUT CENTROID (O(delta)
+        # searchsorted jumps over the cumulative-weight array) instead of
+        # per input point: each cluster starting at quantile q0 absorbs
+        # every point whose inclusive cumulative weight stays within
+        # k_inv(k(q0) + 1) — the same boundary the point-at-a-time greedy
+        # tests, found in one binary search.  A 64K-value batch compresses
+        # in ~delta iterations instead of 64K python-loop steps.
+        n = len(self.means)
+        if n == 0:
             return
         order = np.argsort(self.means, kind="stable")
         means, weights = self.means[order], self.weights[order]
-        total = weights.sum()
+        cum = np.cumsum(weights)
+        total = cum[-1]
+        two_pi = 2.0 * np.pi
+        k_cap = self.delta / 4.0  # k(1.0): arcsin saturates at pi/2
         new_means: list[float] = []
         new_weights: list[float] = []
-        cur_m, cur_w = means[0], weights[0]
+        i = 0
         w_so_far = 0.0
-        for i in range(1, len(means)):
-            q0 = w_so_far / total
-            q1 = (w_so_far + cur_w + weights[i]) / total
-            if self._k(np.array([q1]))[0] - self._k(np.array([q0]))[0] <= 1.0:
-                cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
-                cur_w += weights[i]
+        while i < n:
+            q0 = min(max(w_so_far / total, 0.0), 1.0)
+            k1 = (self.delta / two_pi) * np.arcsin(2.0 * q0 - 1.0) + 1.0
+            if k1 >= k_cap:
+                j = n - 1  # every remaining point fits this cluster
             else:
-                new_means.append(cur_m)
-                new_weights.append(cur_w)
-                w_so_far += cur_w
-                cur_m, cur_w = means[i], weights[i]
-        new_means.append(cur_m)
-        new_weights.append(cur_w)
+                q_lim = (np.sin(k1 * two_pi / self.delta) + 1.0) / 2.0
+                j = int(np.searchsorted(cum, q_lim * total, side="right")) - 1
+                if j < i:
+                    j = i  # a cluster always takes at least its seed point
+            w = cum[j] - w_so_far
+            new_means.append(float(np.dot(means[i : j + 1], weights[i : j + 1]) / w))
+            new_weights.append(float(w))
+            w_so_far = cum[j]
+            i = j + 1
         self.means = np.asarray(new_means)
         self.weights = np.asarray(new_weights)
 

@@ -107,17 +107,33 @@ def _col_partial(col: pa.ChunkedArray, name: str, spec: dict) -> dict:
         out["tdigest"] = td.to_bytes()
     if is_str or is_num:
         hll = HLL(spec.get("hll_p", 12))
-        vals = valid.to_numpy(zero_copy_only=False)
-        hll.update_values(vals if not is_str else vals.astype(object))
+        if is_str:
+            # Hash straight off the Arrow data buffer (tokhash span
+            # kernel) — no Python str / object array per value.  HLL only
+            # needs a deterministic uniform hash; the 5% accuracy bound
+            # is asserted in-pipeline by q_hll_distinct.
+            from .tokhash import hash_strings
+
+            hll.update_hashes(hash_strings(valid))
+        else:
+            hll.update_values(valid.to_numpy(zero_copy_only=False))
         out["hll"] = hll.to_bytes()
     if is_str and spec.get("categories", True):
-        vc = valid.value_counts()
-        if len(vc) <= spec.get("max_categories", 64):
-            out["categories"] = {
-                d["values"]: d["counts"] for d in vc.to_pylist()
-            }
+        max_cats = spec.get("max_categories", 64)
+        # High-cardinality bail: if a 4K-value prefix already exceeds the
+        # category cap, the full column can only be wider — skip the
+        # full-column hash table (free-text columns pay it otherwise).
+        probe = valid.slice(0, 4096)
+        if len(probe) < len(valid) and len(pc.unique(probe)) > max_cats:
+            out["categories"] = None
         else:
-            out["categories"] = None  # too wide → not categorical
+            vc = valid.value_counts()
+            if len(vc) <= max_cats:
+                out["categories"] = {
+                    d["values"]: d["counts"] for d in vc.to_pylist()
+                }
+            else:
+                out["categories"] = None  # too wide → not categorical
     return out
 
 
