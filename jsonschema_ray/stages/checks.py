@@ -58,6 +58,11 @@ VIOLATION_PA_SCHEMA = pa.schema(
 
 EMPTY_VIOLATIONS = pa.Table.from_pylist([], schema=VIOLATION_PA_SCHEMA)
 
+# conv_checks_salted: max (conv, range) summary rows stitched on the driver
+# (~100 MB); above this the stitch runs as a conv-keyed distributed
+# exchange.  Module-level so tests can force the distributed branch.
+DRIVER_STITCH_MAX_PARTIALS = 2_000_000
+
 
 def duplicate_key_violations(ds, keys=("conv_id", "turn_idx")):
     """One violation row per duplicated key, with its multiplicity."""
@@ -657,7 +662,7 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
     summ = ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
         partials, batch_format="pyarrow"
     ).materialize()  # tiny: one partial row per (conv, range) per batch
-    if summ.count() <= 2_000_000:
+    if summ.count() <= DRIVER_STITCH_MAX_PARTIALS:
         # small partial set (~100 MB ceiling): stitch on the driver and
         # skip a whole exchange's fixed cost
         import ray.data as _rd
@@ -668,7 +673,9 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
         boundary = _rd.from_arrow(stitched_tbl.filter(pc.invert(is_fix)))
     else:
         # conv-keyed distributed stitch — the 100 TB path
-        stitched = bucketed_map_groups(summ, ["conv"], stitch_bucket).materialize()
+        stitched = bucketed_map_groups(
+            summ, ["conv"], stitch_bucket, out_schema=VIOLATION_PA_SCHEMA
+        ).materialize()
         fixups = stitched.filter(expr="keyword == '__fixup'").to_pandas()
         boundary = stitched.filter(expr="keyword != '__fixup'")
     bmap = {

@@ -361,7 +361,17 @@ def detect_hot_keys(ds, on: str, threshold: int = 100_000) -> set:
         g = df.groupby(on, sort=False)["_n"].sum().reset_index()
         return g[g["_n"] > threshold]
 
-    hot = bucketed_map_groups(partials, [on], merge).to_pandas()
+    from ..stages.sampling import _input_schema
+
+    in_sch = _input_schema(ds)
+    out_schema = (
+        pa.schema([(on, in_sch.field(on).type), ("_n", pa.int64())])
+        if in_sch is not None
+        else None  # unknown input schema → AllToAll fallback route
+    )
+    hot = bucketed_map_groups(partials, [on], merge, out_schema=out_schema).to_pandas()
+    if on not in hot.columns:  # empty result on the schema-less fallback route
+        return set()
     return set(hot[on])
 
 

@@ -449,3 +449,40 @@ def test_conv_only_fused_skips_on_hot_conversation(
         .reset_index(drop=True)
     )
     assert len(got) == len(want) and got.equals(want)
+
+
+def test_salted_distributed_stitch_matches_driver_stitch(
+    ray_session, planted_parquet, monkeypatch
+):
+    """The >DRIVER_STITCH_MAX_PARTIALS branch (conv-keyed distributed
+    stitch, the 100 TB path) must produce the identical violation multiset
+    as the driver-side stitch — forced by patching the threshold to 0."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages import checks
+
+    want = checks.conv_checks_salted(
+        rd.read_parquet(planted_parquet), range_size=512
+    ).to_pandas()
+    monkeypatch.setattr(checks, "DRIVER_STITCH_MAX_PARTIALS", 0)
+    got = checks.conv_checks_salted(
+        rd.read_parquet(planted_parquet), range_size=512
+    ).to_pandas()
+    key = ["conv_id", "turn_idx", "keyword", "message"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_detect_hot_keys_typed_schema(ray_session):
+    """detect_hot_keys rides the typed direct exchange and still finds
+    exactly the keys above threshold."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.joins import detect_hot_keys
+
+    df = pd.DataFrame({"k": ["hot"] * 5000 + [f"k{i}" for i in range(200)]})
+    ds = rd.from_pandas(df).repartition(8)
+    assert detect_hot_keys(ds, "k", threshold=1000) == {"hot"}
+    assert detect_hot_keys(ds, "k", threshold=10_000) == set()
