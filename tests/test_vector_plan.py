@@ -115,6 +115,56 @@ def test_tdigest_quantiles():
         assert abs(est - exact) / exact < 0.05, (q, exact, est)
 
 
+def _greedy_compress_reference(means, weights, delta):
+    """Point-at-a-time k1 greedy merge (the pre-vectorization reference
+    implementation) — pins the searchsorted cluster walk in TDigest."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+
+    def k(q):
+        return (delta / (2 * np.pi)) * np.arcsin(2 * min(max(q, 0.0), 1.0) - 1)
+
+    out_m, out_w = [], []
+    cur_m, cur_w = means[0], weights[0]
+    w_so_far = 0.0
+    for i in range(1, len(means)):
+        q0 = w_so_far / total
+        q1 = (w_so_far + cur_w + weights[i]) / total
+        if k(q1) - k(q0) <= 1.0:
+            cur_m = (cur_m * cur_w + means[i] * weights[i]) / (cur_w + weights[i])
+            cur_w += weights[i]
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_so_far += cur_w
+            cur_m, cur_w = means[i], weights[i]
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def test_tdigest_compress_matches_greedy_reference():
+    rng = np.random.default_rng(23)
+    for data in (
+        rng.normal(0, 1, 5000),
+        rng.lognormal(2, 1.5, 5000),
+        np.repeat(rng.integers(0, 20, 50).astype(np.float64), 100),  # heavy ties
+        np.array([1.0]),
+        np.array([3.0, 3.0, 3.0]),
+    ):
+        td = TDigest(delta=100)
+        td.means = data.astype(np.float64).copy()
+        td.weights = np.ones(len(data))
+        td._compress()
+        rm, rw = _greedy_compress_reference(
+            data.astype(np.float64), np.ones(len(data)), 100
+        )
+        assert len(td.means) == len(rm), (len(td.means), len(rm))
+        np.testing.assert_allclose(td.weights, rw, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(td.means, rm, rtol=1e-12, atol=1e-12)
+
+
 # -- hypothesis fuzz: vector plan ≡ slow path on arbitrary rows -------------
 
 try:
