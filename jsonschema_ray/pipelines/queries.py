@@ -1951,7 +1951,13 @@ WHERE list_cosine_similarity(x.v, y.v) >= 0.9
     )
 
 
-EMBED_DEDUP_SQL = _embed_dedup_sql()
+def __getattr__(name):  # lazy: building the SQL writes the projection
+    # matrix parquet under /tmp (model.projection_table_path) — an import
+    # side effect on every Ray worker if computed at module scope.  The
+    # oracle is only materialized when a caller actually asks for it.
+    if name == "EMBED_DEDUP_SQL":
+        return _embed_dedup_sql()
+    raise AttributeError(name)
 
 
 def q_role_tool_matrix(sf_dir: str):

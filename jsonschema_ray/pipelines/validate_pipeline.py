@@ -135,20 +135,31 @@ def transcript_violations(
         # conv-checks-only fused route: same single-exchange plan with
         # the keyword pass swapped for the per-batch referential kernel —
         # one scan + one exchange instead of two scans + hash exchange +
-        # final sort.  A degenerate (hot) conversation or missing footer
-        # stats fall through to the parts plan below.
+        # final sort.  A degenerate (hot) conversation gets the same
+        # salted split as the full-check route (its bucketed exchange is
+        # just as skew-exposed as the fused one); missing footer stats
+        # fall through to the parts plan below.
         hot = _hot_conversations(ds, _hot_conv_threshold()) or frozenset()
-        if not hot:
-            one = transcript_violations_fused1(
+        if hot:
+            return _fused_with_hot_split(
                 ds,
+                hot,
                 schema_json=schema_json,
                 mode=mode,
                 batch_size=batch_size,
                 concurrency=concurrency,
                 keywords=False,
             )
-            if one is not None:
-                return one
+        one = transcript_violations_fused1(
+            ds,
+            schema_json=schema_json,
+            mode=mode,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            keywords=False,
+        )
+        if one is not None:
+            return one
     parts = []
     fold_referential = "rows" in checks and "referential" in checks
     if "rows" in checks:
@@ -344,23 +355,69 @@ def _hot_conv_threshold() -> int:
 _HOTCONV_CACHE: dict = {}
 
 
+def _file_conv_counts(f: str):
+    """Per-conversation row counts provable from ONE parquet file's footer
+    (row groups whose conv_id min == max lie wholly inside that
+    conversation).  → list[(conv_id, rows)] or None when any group lacks
+    statistics."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f)
+    idx = md.schema.to_arrow_schema().get_field_index("conv_id")
+    if idx < 0:
+        return None
+    out = []
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        st = g.column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mn, mx = st.min, st.max
+        if isinstance(mn, bytes):
+            mn, mx = mn.decode(), mx.decode()
+        if mn == mx:
+            out.append((mn, g.num_rows))
+    return out
+
+
+def _slice_conv_counts(files: list, cutoff: int):
+    """Footer scan of one contiguous slice of the file listing (runs as a
+    Ray task at large file counts): merged per-conv counts, returning only
+    conversations with slice-local count > ``cutoff`` so the driver merge
+    stays small.  None ⇒ statistics unavailable somewhere in the slice."""
+    counts: dict[str, int] = {}
+    for f in files:
+        per = _file_conv_counts(f)
+        if per is None:
+            return None
+        for conv, n in per:
+            counts[conv] = counts.get(conv, 0) + n
+    return {c: n for c, n in counts.items() if n > cutoff}
+
+
 def _hot_conversations(ds, hot_threshold: int):
-    """Conversations whose row count exceeds ``hot_threshold``, estimated
+    """Conversations whose row count exceeds ``hot_threshold``, computed
     from parquet footer statistics only — no data IO.
 
     A row group whose conv_id min == max lies entirely inside ONE
     conversation, so summing such groups' row counts per value
-    lower-bounds that conversation's size (the two edge groups are
-    missed — an undercount of at most two row groups, irrelevant at
-    guard thresholds, and an undercount can only skip the guard for a
-    conversation a reduce task handles anyway).  At huge file counts
-    only an evenly spaced sample of files is examined: a conversation
-    big enough to endanger a reduce task spans many files, so the
-    sample still sees enough of it to cross the threshold, while a
-    conversation hiding inside one unsampled file is bounded by that
-    file's size — ordinary reduce-task fare.  Returns None when footer
-    statistics are unavailable (detection off; callers keep the plain
-    plan, matching the pre-guard behavior)."""
+    lower-bounds that conversation's size (the two edge groups per file
+    are missed — an undercount of at most two row groups, irrelevant at
+    guard thresholds).  Every file's footer is read: ≤512 files locally
+    via a thread pool, above that as Ray tasks over contiguous 64-file
+    slices of the listing (footers are a few KB each — 100k files is
+    seconds of cluster-parallel metadata IO, and sampling instead was
+    measured blind: a hot conversation spanning 60 of 100k files
+    intersects an evenly spaced 512-file sample ~0 times).  Each slice
+    task keeps only conversations with > threshold/64 slice-local rows,
+    and the merged total flags at > threshold/2 — so a conversation is
+    detected as long as its rows touch ≤32 dropped slices (any layout
+    that keeps a conversation's files roughly contiguous, as range-
+    partitioned or ingest-ordered writes do, touches ~2).  Over-flagging
+    is bounded by 2× (convs above threshold/2) and only costs the salted
+    reroute, never correctness.  Returns None when footer statistics are
+    unavailable (detection off; callers keep the plain plan, matching
+    the pre-guard behavior)."""
     try:
         files = ds.input_files()
         if not files:
@@ -369,45 +426,39 @@ def _hot_conversations(ds, hot_threshold: int):
         hit = _HOTCONV_CACHE.get(key)
         if hit is not None:
             return hit
-        import pyarrow.parquet as pq
 
-        MAX_FILES = 512
-        if len(files) > MAX_FILES:
-            pick = np.unique(np.linspace(0, len(files) - 1, MAX_FILES).astype(int))
-            files = [files[i] for i in pick]
-
-        def file_counts(f: str):
-            md = pq.read_metadata(f)
-            idx = md.schema.to_arrow_schema().get_field_index("conv_id")
-            if idx < 0:
-                return None
-            out = []
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                st = g.column(idx).statistics
-                if st is None or not st.has_min_max:
-                    return None
-                mn, mx = st.min, st.max
-                if isinstance(mn, bytes):
-                    mn, mx = mn.decode(), mx.decode()
-                if mn == mx:
-                    out.append((mn, g.num_rows))
-            return out
-
-        if len(files) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-                per_file = list(ex.map(file_counts, files))
-        else:
-            per_file = [file_counts(files[0])]
-        if any(p is None for p in per_file):
-            return None
+        MAX_LOCAL_FILES = 512
         counts: dict[str, int] = {}
-        for per in per_file:
-            for conv, n in per:
-                counts[conv] = counts.get(conv, 0) + n
-        hot = frozenset(c for c, n in counts.items() if n > hot_threshold)
+        if len(files) <= MAX_LOCAL_FILES:
+            if len(files) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+                    per_file = list(ex.map(_file_conv_counts, files))
+            else:
+                per_file = [_file_conv_counts(files[0])]
+            if any(p is None for p in per_file):
+                return None
+            for per in per_file:
+                for conv, n in per:
+                    counts[conv] = counts.get(conv, 0) + n
+            flag_at = hot_threshold
+        else:
+            import ray as _ray
+
+            cutoff = max(1, hot_threshold // 64)
+            scan = _ray.remote(num_cpus=0.25)(_slice_conv_counts)
+            refs = [
+                scan.remote(files[i : i + 64], cutoff)
+                for i in range(0, len(files), 64)
+            ]
+            for part in _ray.get(refs):
+                if part is None:
+                    return None
+                for conv, n in part.items():
+                    counts[conv] = counts.get(conv, 0) + n
+            flag_at = hot_threshold // 2
+        hot = frozenset(c for c, n in counts.items() if n > flag_at)
         if len(_HOTCONV_CACHE) > 32:
             _HOTCONV_CACHE.clear()
         _HOTCONV_CACHE[key] = hot
@@ -423,6 +474,7 @@ def _fused_with_hot_split(
     mode: str,
     batch_size: int,
     concurrency: int | None,
+    keywords: bool = True,
 ):
     """Degenerate-skew escape hatch for the fused headline plan.
 
@@ -435,7 +487,11 @@ def _fused_with_hot_split(
     conversations between the two kernels is exactly equivalent to one
     kernel over all of them (differential:
     tests/test_round5.py::test_hot_conversation_guard).  Costs one extra
-    filtered 3-column scan — only ever paid on degenerate inputs."""
+    filtered 3-column scan — only ever paid on degenerate inputs.
+
+    ``keywords=False`` is the CHECKS-ONLY twin (referential + conv
+    checks, no per-row keyword plan) — same split, referential still
+    covers every row in the main scan."""
     import pyarrow.compute as pc
 
     from ..stages.checks import conv_checks_salted
@@ -447,8 +503,9 @@ def _fused_with_hot_split(
         batch_size=batch_size,
         concurrency=concurrency,
         exclude_convs=hot,
+        keywords=keywords,
     )
-    if main is None:
+    if main is None and keywords:
         main = transcript_violations_fused(
             ds,
             schema_json=schema_json,
@@ -457,6 +514,17 @@ def _fused_with_hot_split(
             concurrency=concurrency,
             exclude_convs=hot,
         )
+    if main is None:
+        # checks-only and the range bucketer bailed: compose from parts,
+        # conv checks still split cold (bucketed) / hot (salted) so the
+        # degenerate conversation never lands whole in one reduce task
+        from ..stages.checks import conv_checks_violations, referential_violations
+
+        drop_hot = _exclude_filter(hot)
+        cold_keys = ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
+            drop_hot, batch_format="pyarrow", zero_copy_batch=True
+        )
+        main = referential_violations(ds).union(conv_checks_violations(cold_keys))
     hot_arr = pa.array(sorted(hot), pa.string())
 
     def keep_hot(t: pa.Table) -> pa.Table:

@@ -41,12 +41,26 @@ _DIRECT_FALLBACK_WARNED = False
 
 
 def _warn_direct_fallback(err: BaseException) -> None:
+    import warnings
+
+    if not isinstance(err, (AttributeError, TypeError)):
+        # Not an API-surface removal — a transient execution failure
+        # (object-store pressure, worker death) also lands here because
+        # the upstream plan executes inside the bundle iteration.  Warn
+        # without the version diagnosis and WITHOUT latching, so a later
+        # genuine API removal still gets its one-shot version warning.
+        warnings.warn(
+            "direct bucket exchange attempt failed "
+            f"({type(err).__name__}: {err}); using the streaming AllToAll "
+            "plan for this exchange",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return
     global _DIRECT_FALLBACK_WARNED
     if _DIRECT_FALLBACK_WARNED:
         return
     _DIRECT_FALLBACK_WARNED = True
-    import warnings
-
     warnings.warn(
         "direct bucket exchange unavailable on this Ray version "
         f"({type(err).__name__}: {err}); falling back to the streaming "

@@ -224,6 +224,7 @@ class StreamingDeduper:
                 return self.state.size()
 
         init_paths: list[str | None] = [None] * n_shards
+        man = None
         if checkpoint_dir is not None and os.path.exists(
             os.path.join(checkpoint_dir, "MANIFEST.json")
         ):
@@ -247,27 +248,64 @@ class StreamingDeduper:
             )
             for s in range(n_shards)
         ]
+        if man is not None and man.get("per_shard"):
+            # restore integrity: the shard file an actor loaded (from ITS
+            # node's view of checkpoint_dir) must hold exactly the key
+            # count the manifest recorded — catches a non-shared
+            # checkpoint dir or a stale same-named file immediately
+            # instead of silently readmitting duplicates
+            got = ray.get([s.size.remote() for s in self.shards])
+            if [int(g) for g in got] != [int(c) for c in man["per_shard"]]:
+                raise RuntimeError(
+                    f"checkpoint restore mismatch: manifest per-shard counts "
+                    f"{man['per_shard']} != restored {got} — is "
+                    f"{checkpoint_dir!r} on a filesystem all nodes share?"
+                )
 
     def index_size(self) -> int:
         import ray
 
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
-    def checkpoint(self, out_dir: str) -> dict:
+    def checkpoint(self, out_dir: str, shared_fs: bool | None = None) -> dict:
         """Snapshot every shard's key set to ``out_dir`` (atomic: files
-        first, manifest last).  Each shard writes its own file — the keys
-        never pass through the driver.  → the manifest dict."""
+        first, manifest last).  → the manifest dict.
+
+        ``shared_fs=True``: each shard ACTOR writes its own file — the
+        keys never pass through the driver, but ``out_dir`` must be a
+        filesystem every node (and the restoring driver) sees, or restore
+        on a different node raises / finds stale bytes.  ``shared_fs=
+        False``: shard snapshots are shipped to the driver one at a time
+        and written there — placement-independent, driver heap bounded by
+        ONE shard (8 B/key).  Default (None): actor-side on a single-node
+        cluster (where local disk IS shared), driver-side otherwise.
+        Restore cross-checks per-shard key counts against the manifest
+        either way, so a stale same-named file can never restore
+        silently."""
         import ray
 
         from ..state.manifest import ENGINE_VERSION, atomic_json
 
         os.makedirs(out_dir, exist_ok=True)
-        counts = ray.get(
-            [
-                s.save.remote(os.path.join(out_dir, f"shard-{i:04d}.npy"))
-                for i, s in enumerate(self.shards)
-            ]
-        )
+        if shared_fs is None:
+            shared_fs = len([n for n in ray.nodes() if n.get("Alive")]) <= 1
+        if shared_fs:
+            counts = ray.get(
+                [
+                    s.save.remote(os.path.join(out_dir, f"shard-{i:04d}.npy"))
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        else:
+            counts = []
+            for i, s in enumerate(self.shards):
+                arr = ray.get(s.snapshot.remote())
+                # name must END in .npy or np.save appends another suffix
+                tmp = os.path.join(out_dir, f".tmp-shard-{i:04d}.npy")
+                np.save(tmp, arr)
+                os.replace(tmp, os.path.join(out_dir, f"shard-{i:04d}.npy"))
+                counts.append(len(arr))
+                del arr
         man = {
             "engine_version": ENGINE_VERSION,
             "n_shards": self.n_shards,

@@ -68,7 +68,7 @@ def quality_scores(ds, text_col="text", id_col="doc_id", stopwords=STOPWORDS):
     membership is an ``np.isin`` against the hashed stopword set, token
     length is the byte length (== codepoint length for ASCII corpora, the
     unit the SQL oracle uses)."""
-    from .tokhash import batch_token_hashes, hash_words, wraparound_ok
+    from .tokhash import batch_token_hashes, hash_words
 
     stop_h = np.sort(hash_words(sorted(set(stopwords))))
 
@@ -102,7 +102,7 @@ def quality_filter(
     """Drop rows failing the quality gate, in-place per batch — the same
     metrics as :func:`quality_scores`, but no separate dataset and no
     join back (a curation pipeline wants surviving ROWS, not scores)."""
-    from .tokhash import batch_token_hashes, hash_words, wraparound_ok
+    from .tokhash import batch_token_hashes, hash_words
 
     stop_h = np.sort(hash_words(sorted(set(stopwords))))
 

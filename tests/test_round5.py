@@ -425,8 +425,8 @@ def test_conv_only_fused_route_matches_parts_plan(
 def test_conv_only_fused_skips_on_hot_conversation(
     ray_session, planted_parquet, monkeypatch
 ):
-    """A degenerate conversation (footer-estimated) keeps the checks-only
-    configuration on the parts plan — same rows either way."""
+    """A degenerate conversation (footer-estimated) routes the checks-only
+    configuration through the salted hot-split — same rows either way."""
     import ray.data as rd
 
     from jsonschema_ray.pipelines import transcript_violations
@@ -486,3 +486,120 @@ def test_detect_hot_keys_typed_schema(ray_session):
     ds = rd.from_pandas(df).repartition(8)
     assert detect_hot_keys(ds, "k", threshold=1000) == {"hot"}
     assert detect_hot_keys(ds, "k", threshold=10_000) == set()
+
+
+def test_hot_conversations_distributed_many_files(ray_session, tmp_path):
+    """Above 512 input files the detector scans EVERY footer via Ray
+    tasks — a hot conversation spanning a contiguous run of files is
+    found exactly (the old evenly-spaced 512-file sample undercounted
+    any conversation it barely intersected)."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import _hot_conversations
+
+    d = tmp_path / "many"
+    d.mkdir()
+    ts = pa.array([0] * 200, pa.timestamp("us"))
+
+    def one_file(i: int, cid: str):
+        t = pa.table(
+            {
+                "conv_id": pa.array([cid] * 200),
+                "turn_idx": pa.array(np.arange(200, dtype=np.int32)),
+                "ts": ts,
+            }
+        )
+        pq.write_table(t, str(d / f"part-{i:05d}.parquet"))
+
+    for i in range(600):
+        # files 100..160 all belong to ONE conversation (61 × 200 = 12,200
+        # rows); every other file is its own small conversation
+        one_file(i, "conv-hot" if 100 <= i <= 160 else f"conv-{i:05d}")
+    ds = rd.read_parquet(str(d))
+    assert len(ds.input_files()) == 600
+    hot = _hot_conversations(ds, 10_000)
+    assert hot == frozenset({"conv-hot"})
+    # nothing else comes close to threshold/2
+    assert _hot_conversations(ds, 30_000) == frozenset()
+
+
+def test_direct_fallback_transient_error_not_latched(ray_session, monkeypatch):
+    """A non-API-shaped failure in the direct-exchange attempt must not
+    claim a Ray version problem, and must not latch the one-shot version
+    warning away from a later genuine API removal."""
+    import warnings
+
+    import ray.data as rd
+
+    from jsonschema_ray.stages import bucketing as bk
+    from jsonschema_ray.stages.dedup import exact_dedup
+
+    def transient(self):
+        raise RuntimeError("object store pressure")
+
+    monkeypatch.setattr(rd.Dataset, "iter_internal_ref_bundles", transient)
+    monkeypatch.setattr(bk, "_DIRECT_FALLBACK_WARNED", False)
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "text": ["a", "b", "a"]}))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = exact_dedup(ds, key="text").to_pandas()
+    assert sorted(out["doc_id_kept"]) == [1, 2]
+    assert not any(
+        "unavailable on this Ray version" in str(w.message) for w in caught
+    )
+    assert any(
+        "direct bucket exchange attempt failed" in str(w.message) for w in caught
+    )
+    assert bk._DIRECT_FALLBACK_WARNED is False  # version latch untouched
+
+    def gone(self):
+        raise AttributeError("iter_internal_ref_bundles removed")
+
+    monkeypatch.setattr(rd.Dataset, "iter_internal_ref_bundles", gone)
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        exact_dedup(ds, key="text").to_pandas()
+    assert any(
+        "unavailable on this Ray version" in str(w.message) for w in caught2
+    )
+
+
+def test_streaming_checkpoint_via_driver_and_stale_restore_raises(
+    ray_session, tmp_path
+):
+    """shared_fs=False checkpoints route shard snapshots through the
+    driver (placement-independent); restore cross-checks per-shard key
+    counts against the manifest, so a stale/foreign shard file fails loud
+    instead of silently readmitting duplicates."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.streaming import StreamingDeduper
+
+    ck = str(tmp_path / "ck")
+    dd = StreamingDeduper(n_shards=4)
+    df = pd.DataFrame({"doc_id": np.arange(40), "text": [f"t{i % 25}" for i in range(40)]})
+    kept = dd.dedup(rd.from_pandas(df)).to_pandas()
+    assert len(kept) == 25
+    man = dd.checkpoint(ck, shared_fs=False)
+    assert man["n_keys"] == 25 and len(man["per_shard"]) == 4
+
+    # clean restore: all 25 contents are already seen
+    dd2 = StreamingDeduper(n_shards=4, checkpoint_dir=ck)
+    again = dd2.dedup(rd.from_pandas(df)).to_pandas()
+    assert len(again) == 0
+
+    # corrupt one shard file (wrong key count) → restore raises
+    victim = next(s for s in range(4) if man["per_shard"][s] > 0)
+    np.save(f"{ck}/shard-{victim:04d}.npy", np.array([1, 2, 3], dtype=np.uint64))
+    with pytest.raises(RuntimeError, match="restore mismatch"):
+        StreamingDeduper(n_shards=4, checkpoint_dir=ck)
+
+
+def test_embed_dedup_sql_is_lazy():
+    """Building EMBED_DEDUP_SQL writes a projection parquet under /tmp —
+    that must happen on first ATTRIBUTE access, not at import."""
+    from jsonschema_ray.pipelines import queries as q
+
+    assert "EMBED_DEDUP_SQL" not in vars(q)  # no module-scope binding
+    s = q.EMBED_DEDUP_SQL  # __getattr__ builds it on demand
+    assert "list_cosine_similarity" in s
