@@ -18,8 +18,19 @@ BENCH_DIR = f"{REFERENCE}/_bench"
 
 @pytest.fixture(scope="session")
 def ray_session():
+    import os
+
     import ray
 
+    # same worker-log config as bench.py: hold the per-worker console
+    # handler at ERROR so the pandas-metadata "Failed to hash the
+    # schemas" concat warning doesn't interleave with pytest output
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(
+            os.path.dirname(__file__), "..", "jsonschema_ray", "raydata_logging.yaml"
+        ),
+    )
     if not ray.is_initialized():
         ray.init(
             address="local",
