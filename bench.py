@@ -92,6 +92,7 @@ def _timed(fn, reps: int = 2) -> tuple[float, object]:
 
 
 def main() -> None:
+    probe_start = host_fault_mbps()
     _init_ray()
     import ray
     import ray.data as rd
@@ -172,6 +173,10 @@ def main() -> None:
         "n_turns": n_turns,
         "n_violations": n_viol,
         "turns_per_sec": round(n_turns / headline_sec),
+        # first-touch page-fault service at run start/end (healthy host
+        # ≈5000+ MB/s; see BASELINE.md's scaling section) — wall times
+        # measured in a degraded window are inflated for any engine
+        "host_fault_mbps": [probe_start, host_fault_mbps()],
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -182,6 +187,7 @@ def big() -> None:
     turns, generated deterministically under /tmp) so per-row work, not
     fixed session cost, dominates — sf0.1's wall time is ≥95% overhead,
     which masks kernel-level regressions."""
+    probe_start = host_fault_mbps()
     _init_ray()
     import ray
     import ray.data as rd
@@ -265,6 +271,7 @@ def big() -> None:
                 "num_cpus": NUM_CPUS,
                 "turns_per_sec": round(n / sec),
                 "salted_over_bucket": round(s3 / s2, 2),
+                "host_fault_mbps": [probe_start, host_fault_mbps()],
             }
         )
     )
@@ -382,6 +389,24 @@ def _scaling_workload_transcripts() -> None:
 _fault_probe_keepalive: list = []
 
 
+def host_fault_mbps() -> float:
+    """First-touch page-fault throughput probe.  This sandbox host
+    oscillates between ~7 GB/s and ~40 MB/s fault service (hypervisor
+    memory backing); in the degraded state every fresh allocation
+    serializes in the kernel and wall time inflates for ANY engine.
+    Recording the probe alongside each measurement makes degraded
+    windows identifiable instead of silently corrupting the numbers."""
+    import numpy as _np
+
+    n = 64 << 20
+    buf = _np.empty(n, dtype=_np.uint8)
+    t0 = time.perf_counter()
+    buf[::4096] = 1
+    _fault_probe_keepalive.append(buf)  # defeat numpy's freed-buffer
+    # reuse: a same-sized realloc would re-touch WARM pages
+    return round(n / (1 << 20) / (time.perf_counter() - t0))
+
+
 def scaling() -> None:
     # default pair 1 vs 4: the window where THIS HOST is still linear.
     # Higher worker counts contend on the box's shared page-fault service
@@ -406,24 +431,6 @@ def scaling() -> None:
             check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
-
-    def host_fault_mbps() -> float:
-        """First-touch page-fault throughput probe.  This sandbox host
-        oscillates between ~7 GB/s and ~40 MB/s fault service (hypervisor
-        memory backing); in the degraded state every fresh allocation
-        serializes in the kernel and parallel efficiency collapses for
-        ANY engine.  Recording the probe with each pair makes degraded
-        measurements identifiable instead of silently corrupting the
-        reported ratio."""
-        import numpy as _np
-
-        n = 64 << 20
-        buf = _np.empty(n, dtype=_np.uint8)
-        t0 = time.perf_counter()
-        buf[::4096] = 1
-        _fault_probe_keepalive.append(buf)  # defeat numpy's freed-buffer
-        # reuse: a same-sized realloc would re-touch WARM pages
-        return round(n / (1 << 20) / (time.perf_counter() - t0))
 
     # This host's throughput drifts ±25% across minutes (shared VM).  One
     # lo/hi pair sampled at different drift states corrupts the ratio, so
