@@ -595,6 +595,20 @@ def test_streaming_checkpoint_via_driver_and_stale_restore_raises(
         StreamingDeduper(n_shards=4, checkpoint_dir=ck)
 
 
+def test_wraparound_hashing_restores_numpy_error_state():
+    """hash_strings/token hashing wrap overflow suppression in a SCOPED
+    np.errstate — the process-global numpy error config must be exactly
+    what it was before the call (ADVICE r5: a bare np.seterr leaked
+    over='ignore' into unrelated code in the same worker)."""
+    import pyarrow as pa
+
+    from jsonschema_ray.stages.tokhash import hash_strings
+
+    before = np.geterr()
+    hash_strings(pa.array(["alpha", "beta", None, "x" * 300]))
+    assert np.geterr() == before
+
+
 def test_embed_dedup_sql_is_lazy():
     """Building EMBED_DEDUP_SQL writes a projection parquet under /tmp —
     that must happen on first ATTRIBUTE access, not at import."""
