@@ -353,6 +353,43 @@ def _hot_conv_threshold() -> int:
 
 
 _HOTCONV_CACHE: dict = {}
+_NO_STATS = "no_stats"  # cached verdict: footer statistics unavailable
+
+
+def _parquet_leaf_index(md, name: str) -> int:
+    """Parquet LEAF-column index of the top-level primitive column ``name``.
+
+    Row-group statistics are addressed by leaf (depth-first flattened)
+    index, which diverges from the Arrow top-level field index as soon as
+    any earlier column is nested — e.g. a struct column before conv_id
+    shifts every later leaf, so an Arrow ``get_field_index`` lookup would
+    silently read an unrelated leaf's min/max.  Matching on the leaf
+    ``path`` is the only safe lookup."""
+    for i in range(md.num_columns):
+        if md.schema.column(i).path == name:
+            return i
+    return -1
+
+
+def _files_fingerprint(files) -> str:
+    """Digest of the file listing plus local (mtime_ns, size) per file, so
+    a dataset rewritten in place at the same paths invalidates cached
+    footer-derived state; non-statable paths (object stores) contribute
+    the path alone.  Also keeps cache keys O(1)-sized instead of holding
+    a tuple of every input path."""
+    import hashlib
+    import os as _os
+
+    h = hashlib.blake2b(digest_size=16)
+    for f in files:
+        h.update(str(f).encode())
+        try:
+            st = _os.stat(f)
+            h.update(b"%d:%d" % (st.st_mtime_ns, st.st_size))
+        except OSError:
+            pass
+        h.update(b"\0")
+    return h.hexdigest()
 
 
 def _file_conv_counts(f: str):
@@ -363,7 +400,7 @@ def _file_conv_counts(f: str):
     import pyarrow.parquet as pq
 
     md = pq.read_metadata(f)
-    idx = md.schema.to_arrow_schema().get_field_index("conv_id")
+    idx = _parquet_leaf_index(md, "conv_id")
     if idx < 0:
         return None
     out = []
@@ -422,10 +459,21 @@ def _hot_conversations(ds, hot_threshold: int):
         files = ds.input_files()
         if not files:
             return None
-        key = (tuple(files), int(hot_threshold))
+        key = (_files_fingerprint(files), int(hot_threshold))
         hit = _HOTCONV_CACHE.get(key)
         if hit is not None:
-            return hit
+            # the no-statistics verdict is cached too — otherwise every
+            # call over a stats-less dataset repeats the full footer sweep
+            return None if hit is _NO_STATS else hit
+
+        def _verdict(v):
+            # bounded cache with single-entry (oldest-first) eviction —
+            # clearing wholesale would force every other cached dataset
+            # back through its footer sweep
+            if len(_HOTCONV_CACHE) > 32:
+                _HOTCONV_CACHE.pop(next(iter(_HOTCONV_CACHE)))
+            _HOTCONV_CACHE[key] = _NO_STATS if v is None else v
+            return v
 
         MAX_LOCAL_FILES = 512
         counts: dict[str, int] = {}
@@ -438,7 +486,7 @@ def _hot_conversations(ds, hot_threshold: int):
             else:
                 per_file = [_file_conv_counts(files[0])]
             if any(p is None for p in per_file):
-                return None
+                return _verdict(None)
             for per in per_file:
                 for conv, n in per:
                     counts[conv] = counts.get(conv, 0) + n
@@ -454,16 +502,15 @@ def _hot_conversations(ds, hot_threshold: int):
             ]
             for part in _ray.get(refs):
                 if part is None:
-                    return None
+                    return _verdict(None)
                 for conv, n in part.items():
                     counts[conv] = counts.get(conv, 0) + n
             flag_at = hot_threshold // 2
         hot = frozenset(c for c, n in counts.items() if n > flag_at)
-        if len(_HOTCONV_CACHE) > 32:
-            _HOTCONV_CACHE.clear()
-        _HOTCONV_CACHE[key] = hot
-        return hot
+        return _verdict(hot)
     except Exception:
+        # transient failures (listing races, IO) are NOT cached — the next
+        # call retries the sweep
         return None
 
 
@@ -756,8 +803,10 @@ def _conv_range_bucketer(ds, nb: int):
             return None
         # footer statistics are immutable for a given file set — cache the
         # computed boundaries so repeated runs over the same input (bench
-        # passes, retried pipelines) skip the metadata reads entirely
-        cache_key = (tuple(files), nb)
+        # passes, retried pipelines) skip the metadata reads entirely; the
+        # fingerprint folds in local mtime/size so in-place rewrites at
+        # the same paths don't serve stale boundaries
+        cache_key = (_files_fingerprint(files), nb)
         cached = _BUCKETER_CACHE.get(cache_key)
         if cached is not None:
             return _make_bucket_of(*cached)
@@ -776,7 +825,7 @@ def _conv_range_bucketer(ds, nb: int):
 
         def file_stats(f: str) -> list[str] | None:
             md = pq.read_metadata(f)
-            idx = md.schema.to_arrow_schema().get_field_index("conv_id")
+            idx = _parquet_leaf_index(md, "conv_id")
             if idx < 0:
                 return None
             out: list[str] = []
@@ -812,7 +861,7 @@ def _conv_range_bucketer(ds, nb: int):
             )
         )
         if len(_BUCKETER_CACHE) > 32:
-            _BUCKETER_CACHE.clear()
+            _BUCKETER_CACHE.pop(next(iter(_BUCKETER_CACHE)))
         _BUCKETER_CACHE[cache_key] = (bnds, W)
         return _make_bucket_of(bnds, W)
     except Exception:

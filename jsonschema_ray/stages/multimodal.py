@@ -61,15 +61,35 @@ def _try_pillow():
 
 
 class _MiniBMPImage:
-    """Decoded 24-bit BMP: (h, w, 3) uint8 pixel array + the PIL.Image
-    subset the stages call (.size, .resize, .save, context manager)."""
+    """Lazily-decoded 24-bit BMP exposing the PIL.Image subset the stages
+    call (.size, .resize, .save, context manager).
 
-    def __init__(self, px: np.ndarray) -> None:
-        self.px = px  # (h, w, 3) RGB
+    ``open`` parses only the 54-byte header; the (h, w, 3) uint8 pixel
+    array materializes on first ``.px`` touch (resize/save).  A
+    dimensions-only pass (DecodeStage) therefore stays header-only —
+    matching Pillow's lazy open, which the stage contract documents."""
+
+    def __init__(self, px: np.ndarray | None = None, *, _raw=None) -> None:
+        self._px = px  # (h, w, 3) RGB, or None until first touch
+        self._raw = _raw  # (data, off, w, h, flip) for lazy decode
+
+    @property
+    def px(self) -> np.ndarray:
+        if self._px is None:
+            data, off, w, h, flip = self._raw
+            stride = (3 * w + 3) & ~3
+            rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
+            px = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[..., ::-1]
+            self._px = px[::-1].copy() if flip else px.copy()  # BGR→RGB
+            self._raw = None
+        return self._px
 
     @property
     def size(self) -> tuple[int, int]:
-        return (self.px.shape[1], self.px.shape[0])
+        if self._px is None:
+            _data, _off, w, h, _flip = self._raw
+            return (w, h)
+        return (self._px.shape[1], self._px.shape[0])
 
     def resize(self, wh: tuple[int, int], resample=None) -> "_MiniBMPImage":
         w, h = wh  # nearest-neighbor — plumbing parity, not Lanczos quality
@@ -77,7 +97,12 @@ class _MiniBMPImage:
         sx = (np.arange(w) * self.px.shape[1] // max(w, 1)).clip(0, self.px.shape[1] - 1)
         return _MiniBMPImage(self.px[sy][:, sx])
 
-    def save(self, fp, format: str = "BMP") -> None:
+    def save(self, fp, format: str | None = None) -> None:
+        # fail loud on formats this codec cannot produce — silently
+        # substituting BMP bytes where a caller asked for PNG would hand
+        # downstream decoders a mislabeled payload
+        if format not in (None, "BMP"):
+            raise ValueError(f"vendored BMP codec cannot encode {format!r}")
         fp.write(_MiniBMP.encode(self.px))
 
     def __enter__(self):
@@ -95,9 +120,13 @@ class _MiniBMP:
     replacement: one pixel format, no compression."""
 
     LANCZOS = None  # resample flags are accepted and ignored
+    OUT_FORMAT = "BMP"  # the one format .save() can produce
 
     @staticmethod
     def open(fp) -> _MiniBMPImage:
+        """Header-only open: validates the 54-byte header and the pixel
+        extent, but defers the pixel-array decode to first ``.px`` touch
+        (so a dimensions-only pass never pays a full-frame decode)."""
         data = fp.read()
         if len(data) < 54 or data[:2] != b"BM":
             raise ValueError("not a BMP payload")
@@ -110,9 +139,9 @@ class _MiniBMP:
         flip = h > 0  # positive height → rows stored bottom-up
         h = abs(h)
         stride = (3 * w + 3) & ~3
-        rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
-        px = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
-        return _MiniBMPImage(px[::-1].copy() if flip else px.copy())
+        if off + stride * h > len(data):  # fail at open, not at lazy decode
+            raise ValueError("truncated BMP payload")
+        return _MiniBMPImage(_raw=(data, off, w, h, flip))
 
     @staticmethod
     def encode(px: np.ndarray) -> bytes:
@@ -183,8 +212,9 @@ class DecodeStage:
             if not p:
                 continue
             if self.codec is not None:
-                # REAL DECODE: header-only open — Pillow reads dimensions
-                # without decoding pixel data
+                # REAL DECODE: header-only open — both Pillow and the
+                # vendored BMP codec report dimensions without decoding
+                # pixel data
                 with self.codec.open(io.BytesIO(p)) as im:
                     width[i], height[i] = im.size
             else:
@@ -228,7 +258,9 @@ class ResizeStage:
     zero-copy Arrow binary handling and output schema are all exercised.
     ``mode="auto"``/``"pillow"``: REAL resize — decode via Pillow, LANCZOS
     resample to (width, height), re-encode PNG (``auto`` falls back to the
-    fake codec when Pillow is absent; ``pillow`` raises)."""
+    fake codec when Pillow is absent; ``pillow`` raises).  ``mode="bmp"``
+    re-encodes BMP — the output container always matches the codec's
+    ``OUT_FORMAT`` so payload bytes are never mislabeled."""
 
     def __init__(self, width: int = 224, height: int = 224, id_col: str = "doc_id", mode: str = "fake"):
         self.w, self.h, self.id_col = width, height, id_col
@@ -256,11 +288,15 @@ class ResizeStage:
                 out.append(b"")
                 continue
             if self.codec is not None:
+                # output container follows the codec: PNG under Pillow,
+                # BMP under the vendored codec (OUT_FORMAT) — never a
+                # mislabeled payload
+                fmt = getattr(self.codec, "OUT_FORMAT", "PNG")
                 with self.codec.open(io.BytesIO(p)) as im:
                     buf = io.BytesIO()
                     im.resize(
                         (self.w, self.h), resample=self.codec.LANCZOS
-                    ).save(buf, format="PNG")
+                    ).save(buf, format=fmt)
                 out.append(buf.getvalue())
                 continue
             reps = target // len(p) + 1

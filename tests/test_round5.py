@@ -617,3 +617,150 @@ def test_embed_dedup_sql_is_lazy():
     assert "EMBED_DEDUP_SQL" not in vars(q)  # no module-scope binding
     s = q.EMBED_DEDUP_SQL  # __getattr__ builds it on demand
     assert "list_cosine_similarity" in s
+
+
+def test_footer_stats_use_leaf_index_on_nested_schema(ray_session, tmp_path):
+    """Row-group statistics are addressed by parquet LEAF (depth-first)
+    index; a struct column ahead of conv_id shifts every later leaf, so
+    an Arrow top-level field-index lookup reads an unrelated leaf's
+    min/max — missing a degenerate conversation entirely or flagging
+    phantom ones.  The guard must key off the leaf path."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import (
+        _file_conv_counts,
+        _hot_conversations,
+        _parquet_leaf_index,
+    )
+
+    n = 12_000
+    t = pa.table(
+        {
+            "meta": pa.array([{"a": 1, "b": 2}] * n),
+            "conv_id": pa.array(
+                ["conv-hot"] * (n - 100) + [f"conv-{i:04d}" for i in range(100)]
+            ),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+        }
+    )
+    f = str(tmp_path / "nested.parquet")
+    pq.write_table(t, f, row_group_size=1024)
+    md = pq.read_metadata(f)
+    # the divergence this test guards: 2 struct leaves precede conv_id
+    assert _parquet_leaf_index(md, "conv_id") == 2
+    assert md.schema.to_arrow_schema().get_field_index("conv_id") == 1
+    per = _file_conv_counts(f)
+    assert per is not None
+    counts: dict[str, int] = {}
+    for c, k in per:
+        counts[c] = counts.get(c, 0) + k
+    # full (min==max) row groups cover the hot conv minus ≤2 edge groups
+    assert counts.get("conv-hot", 0) >= n - 100 - 2 * 1024
+    assert _hot_conversations(rd.read_parquet(f), 5_000) == frozenset({"conv-hot"})
+
+
+def test_hot_conv_cache_invalidates_on_in_place_rewrite(ray_session, tmp_path):
+    """The footer-stat caches key on a (path, mtime, size) fingerprint —
+    regenerating a dataset at the same path (exactly what bench reps and
+    retried pipelines do) must not serve the previous contents' hot set."""
+    import os
+
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import _hot_conversations
+
+    f = str(tmp_path / "t.parquet")
+
+    def write(hot_id: str) -> None:
+        t = pa.table(
+            {
+                "conv_id": pa.array([hot_id] * 20_000),
+                "turn_idx": pa.array(np.arange(20_000, dtype=np.int32)),
+            }
+        )
+        pq.write_table(t, f, row_group_size=2048)
+
+    write("conv-A")
+    assert _hot_conversations(rd.read_parquet(f), 10_000) == frozenset({"conv-A"})
+    write("conv-B")  # same path, same byte size — only contents changed
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1))  # deterministic mtime bump
+    assert _hot_conversations(rd.read_parquet(f), 10_000) == frozenset({"conv-B"})
+
+
+def test_hot_conv_no_stats_verdict_is_cached(ray_session, tmp_path, monkeypatch):
+    """A dataset written without row-group statistics yields the None
+    (detection off) verdict — which must be CACHED like any other, or
+    every bench rep / repeated query repeats the full footer sweep."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import validate_pipeline as vp
+
+    f = str(tmp_path / "nostats.parquet")
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 100),
+            "turn_idx": pa.array(np.arange(100, dtype=np.int32)),
+        }
+    )
+    pq.write_table(t, f, write_statistics=False)
+    calls: list[str] = []
+    orig = vp._file_conv_counts
+    monkeypatch.setattr(
+        vp, "_file_conv_counts", lambda p: (calls.append(p), orig(p))[1]
+    )
+    assert vp._hot_conversations(rd.read_parquet(f), 10) is None
+    n1 = len(calls)
+    assert n1 >= 1
+    assert vp._hot_conversations(rd.read_parquet(f), 10) is None
+    assert len(calls) == n1  # no second footer sweep
+
+
+def test_bmp_codec_lazy_open_and_format_guard():
+    """open() is header-only (no pixel decode until .px is touched), and
+    save() refuses formats the vendored codec cannot produce instead of
+    silently emitting mislabeled BMP bytes."""
+    import io
+
+    from jsonschema_ray.stages.multimodal import _MiniBMP
+
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    data = _MiniBMP.encode(px)
+    im = _MiniBMP.open(io.BytesIO(data))
+    assert im._px is None  # header-only open
+    assert im.size == (4, 5)
+    assert im._px is None  # .size alone must not trigger a full decode
+    np.testing.assert_array_equal(im.px, px)
+    buf = io.BytesIO()
+    with pytest.raises(ValueError, match="cannot encode"):
+        im.save(buf, format="PNG")
+    im.save(buf, format="BMP")
+    np.testing.assert_array_equal(
+        _MiniBMP.open(io.BytesIO(buf.getvalue())).px, px
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        _MiniBMP.open(io.BytesIO(data[:-8]))  # extent checked at open
+
+
+def test_resize_bmp_mode_emits_bmp_container(ray_session):
+    """ResizeStage's output container follows the codec (OUT_FORMAT):
+    mode='bmp' payloads are valid BMP bytes, not PNG-labeled BMP."""
+    import io
+
+    import ray.data as rd
+
+    from jsonschema_ray.stages.multimodal import _MiniBMP, resize
+
+    px = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1],
+                "payload": pa.array([_MiniBMP.encode(px)], pa.binary()),
+            }
+        )
+    )
+    out = resize(ds, width=3, height=2, mode="bmp").to_pandas()
+    payload = out.loc[0, "payload"]
+    assert payload[:2] == b"BM"
+    assert _MiniBMP.open(io.BytesIO(payload)).size == (3, 2)
