@@ -57,19 +57,34 @@ def _topk_batch(
                 "sim": pa.array([], pa.float64()),
             }
         )
-    sims = qm @ _normalize(m).T  # (nq, nb)
-    k = min(k + 1, sims.shape[1])  # +1 to survive self-match removal
-    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    # round BEFORE the per-block cut: the global merge orders by
+    # (rounded sim desc, vec_id asc), so the block-level top-(k+1) must
+    # use the SAME composite order — selecting on raw sims could drop a
+    # rounded-tied candidate with a smaller vec_id at the cut, making the
+    # result depend on which block the tied vectors landed in
+    sims = np.round(qm @ _normalize(m).T, 6)  # (nq, nb)
+    kk = min(k + 1, sims.shape[1])  # +1 to survive self-match removal
     out_q, out_v, out_s = [], [], []
     for qi in range(sims.shape[0]):
-        out_q.append(np.full(k, qids[qi], dtype=np.int64))
-        out_v.append(ids[part[qi]])
-        out_s.append(sims[qi, part[qi]])
+        s = sims[qi]
+        if kk < len(s):
+            cut = np.partition(s, -kk)[-kk]  # kk-th largest rounded sim
+            sel = np.flatnonzero(s > cut)
+            need = kk - len(sel)
+            if need > 0:  # fill the cut ties by ascending vec_id
+                ties = np.flatnonzero(s == cut)
+                ties = ties[np.argsort(ids[ties], kind="stable")[:need]]
+                sel = np.concatenate([sel, ties])
+        else:
+            sel = np.arange(len(s))
+        out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+        out_v.append(ids[sel])
+        out_s.append(s[sel])
     return pa.table(
         {
             "query_id": pa.array(np.concatenate(out_q)),
             "vec_id": pa.array(np.concatenate(out_v)),
-            "sim": pa.array(np.round(np.concatenate(out_s), 6)),
+            "sim": pa.array(np.concatenate(out_s)),
         }
     )
 

@@ -64,8 +64,23 @@ EMPTY_VIOLATIONS = pa.Table.from_pylist([], schema=VIOLATION_PA_SCHEMA)
 DRIVER_STITCH_MAX_PARTIALS = 2_000_000
 
 
+def _drop_null_keyed(t: pa.Table, cols=("conv_id", "turn_idx")) -> pa.Table:
+    """Rows with a null key column are 'required' ROW violations upstream —
+    every conversation-level check excludes them (the shared contract of
+    _run_bucket/_run_bucket_table; applied here for the standalone and
+    salted entry points so all paths agree on null-keyed inputs)."""
+    keep = None
+    for c in cols:
+        v = pc.is_valid(t[c])
+        keep = v if keep is None else pc.and_(keep, v)
+    if keep is None or pc.all(keep).as_py():
+        return t
+    return t.filter(keep)
+
+
 def duplicate_key_violations(ds, keys=("conv_id", "turn_idx")):
-    """One violation row per duplicated key, with its multiplicity."""
+    """One violation row per duplicated key, with its multiplicity.
+    Null-keyed rows are excluded (same contract as conv_checks_*)."""
     keys = list(keys)
 
     def emit(batch: pa.Table) -> pa.Table:
@@ -86,6 +101,9 @@ def duplicate_key_violations(ds, keys=("conv_id", "turn_idx")):
 
     return (
         ds.select_columns(keys)  # shuffle only the key bytes
+        .map_batches(
+            lambda t: _drop_null_keyed(t, keys), batch_format="pyarrow"
+        )
         .groupby(keys)
         .count()
         .map_batches(emit, batch_format="pyarrow")
@@ -198,10 +216,20 @@ def _contiguity_in_bucket(df: pd.DataFrame) -> pa.Table:
 def _ts_order_in_bucket(df: pd.DataFrame) -> pa.Table:
     """Per conversation: ts must be non-decreasing across turn_idx — a row
     violates if its ts precedes the max ts of any strictly smaller turn_idx.
-    df must be sorted by (conv_id, turn_idx)."""
+    df must be sorted by (conv_id, turn_idx).
+
+    The ffill carries the running max PAST an all-NaT turn group (pandas
+    cummax reports NaN at NaN positions), matching the SQL window oracle:
+    ``MAX(ts) OVER (... 1 PRECEDING)`` skips NULLs, so the group after an
+    all-NaT group is checked against the prior real max, not exempted."""
     per_turn_max = df.groupby(["conv_id", "turn_idx"], sort=False)["ts"].max()
     bound = (
-        per_turn_max.groupby(level="conv_id").cummax().groupby(level="conv_id").shift(1)
+        per_turn_max.groupby(level="conv_id")
+        .cummax()
+        .groupby(level="conv_id")
+        .ffill()
+        .groupby(level="conv_id")
+        .shift(1)
     ).rename("_bound").reset_index()
     m = df.merge(bound, on=["conv_id", "turn_idx"], how="left", sort=False)
     bad = (m["ts"] < m["_bound"]).to_numpy()
@@ -237,6 +265,20 @@ def _run_bucket(df: pd.DataFrame, which: tuple[str, ...]) -> pa.Table:
 
 
 _I64MIN = np.iinfo(np.int64).min
+
+
+def _i32_turns(a: np.ndarray) -> np.ndarray:
+    """turn_idx values destined for the int32 violation schema — fail loud
+    on overflow instead of silently wrapping (the pandas kernel's
+    ``pa.array(..., pa.int32())`` raises on the same input; this keeps the
+    numpy kernel from emitting corrupted turn indices instead)."""
+    if len(a) and (int(a.max()) > 2**31 - 1 or int(a.min()) < -(2**31)):
+        raise OverflowError(
+            f"violation turn_idx {int(a.max())} exceeds the int32 "
+            "violation-row schema; turn indices past 2^31-1 are not "
+            "representable in the violation format"
+        )
+    return a.astype(np.int32)
 
 
 def _conv_order_codes(conv: pa.Array) -> np.ndarray:
@@ -304,7 +346,7 @@ def _run_bucket_table(t: pa.Table, which: tuple[str, ...]) -> pa.Table:
                 pa.table(
                     {
                         "conv_id": take_conv(rows).cast(pa.string()),
-                        "turn_idx": pa.array(t_s[gs[dup]].astype(np.int32)),
+                        "turn_idx": pa.array(_i32_turns(t_s[gs[dup]])),
                         "keyword": _const_col(len(rows), "uniqueItems"),
                         "message": pa.array(
                             [
@@ -338,7 +380,7 @@ def _run_bucket_table(t: pa.Table, which: tuple[str, ...]) -> pa.Table:
                 pa.table(
                     {
                         "conv_id": take_conv(order[pos]).cast(pa.string()),
-                        "turn_idx": pa.array(t_s[pos].astype(np.int32)),
+                        "turn_idx": pa.array(_i32_turns(t_s[pos])),
                         "keyword": _const_col(len(pos), "contiguity"),
                         "message": pa.array(msgs, pa.string()),
                     },
@@ -368,13 +410,10 @@ def _run_bucket_table(t: pa.Table, which: tuple[str, ...]) -> pa.Table:
             shifted[k:] = bound[:-k]
             np.maximum(bound, np.where(same, shifted, _I64MIN), out=bound)
             k *= 2
-        # pandas-kernel parity (cummax leaves NaN AT an all-NaT group, so
-        # shift(1) hands the NEXT group a NaN bound): a group directly
-        # after an all-NaT group of the same conv is unchecked, while
-        # later groups resume against the running max
-        prev_all_nat = np.zeros(m, dtype=bool)
-        prev_all_nat[1:] = (gmax[:-1] == _I64MIN) & ~gfirst[1:]
-        bound[prev_all_nat] = _I64MIN
+        # the INT64_MIN sentinel of an all-NaT group never raises the
+        # prefix max, so the group after it is checked against the prior
+        # real max — exactly the SQL window semantics (MAX OVER skips
+        # NULLs); the pandas kernel ffills its cummax to match
         row_bound = np.repeat(bound, gsz)
         bad = (ts_i < row_bound) & (ts_i != _I64MIN) & (row_bound != _I64MIN)
         pos = np.flatnonzero(bad)
@@ -383,7 +422,7 @@ def _run_bucket_table(t: pa.Table, which: tuple[str, ...]) -> pa.Table:
                 pa.table(
                     {
                         "conv_id": take_conv(order[pos]).cast(pa.string()),
-                        "turn_idx": pa.array(t_s[pos].astype(np.int32)),
+                        "turn_idx": pa.array(_i32_turns(t_s[pos])),
                         "keyword": _const_col(len(pos), "order"),
                         "message": _const_col(
                             len(pos), "ts decreases within conversation"
@@ -397,30 +436,19 @@ def _run_bucket_table(t: pa.Table, which: tuple[str, ...]) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def _pick_buckets(ds, num_buckets: int | None) -> int:
-    # Size P so one bucket's key columns (~25% of row bytes here) stay well
-    # under a worker's heap; never triggers plan execution (bucketing.py).
-    from .bucketing import pick_num_buckets
-
-    return pick_num_buckets(ds, num_buckets)
-
-
 def _bucketed_conv_checks(ds, which: tuple[str, ...], num_buckets: int | None, cols):
-    nb = _pick_buckets(ds, num_buckets)
+    # bucketed_map_groups stamps empty exchange blocks with the violation
+    # schema (the schema-less empties from a raw groupby/map_groups are
+    # the documented union+sort stall hazard) and routes through the
+    # direct exchange when the input fits the gate
+    from .bucketing import bucketed_map_groups
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = (pd.util.hash_array(conv.astype(object)) % nb).astype(np.int32)
-        return t.append_column("_b", pa.array(b, pa.int32()))
-
-    return (
-        ds.select_columns(list(cols))  # shuffle only the key bytes
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(
-            lambda g: _run_bucket(g, which),
-            batch_format="pandas",
-        )
+    return bucketed_map_groups(
+        ds.select_columns(list(cols)),  # shuffle only the key bytes
+        ["conv_id"],
+        lambda g: _run_bucket(g, which),
+        num_buckets=num_buckets,
+        out_schema=VIOLATION_PA_SCHEMA,
     )
 
 
@@ -472,7 +500,12 @@ def _ts_order_bounded(df: pd.DataFrame, bmap: dict) -> pa.Table:
     local-pass + fixup-pass pair used to produce."""
     per_turn_max = df.groupby(["conv_id", "turn_idx"], sort=False)["ts"].max()
     bound = (
-        per_turn_max.groupby(level="conv_id").cummax().groupby(level="conv_id").shift(1)
+        per_turn_max.groupby(level="conv_id")
+        .cummax()
+        .groupby(level="conv_id")
+        .ffill()  # carry the max past all-NaT groups (SQL MAX skips NULLs)
+        .groupby(level="conv_id")
+        .shift(1)
     ).rename("_bound").reset_index()
     m = df.merge(bound, on=["conv_id", "turn_idx"], how="left", sort=False)
     eff = m["_bound"].to_numpy("datetime64[ns]").view("int64")  # NaT → int64 min
@@ -548,10 +581,14 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
     """
     import ray
 
-    from .bucketing import bucketed_map_groups, pick_num_buckets
+    from .bucketing import bucketed_map_groups
 
     # -- pass 1: combiner partials → conv-keyed stitch → bounds --
     def partials(t: pa.Table) -> pa.Table:
+        # null-keyed rows are 'required' row violations — excluded here
+        # exactly like the bucketed kernels (a null turn_idx would
+        # otherwise float-promote and astype to int64 garbage)
+        t = _drop_null_keyed(t)
         conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
         turn = (
             t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -685,33 +722,33 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
     bref = ray.put(bmap)
 
     # -- pass 2: the one full exchange, bounds already broadcast --
-    nb = pick_num_buckets(ds, num_buckets)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    # keyed (conv_id, _salt) through bucketed_map_groups: typed empty
+    # blocks (the schema-less raw map_groups empties are the union+sort
+    # stall hazard) and the direct exchange under the size gate
+    def add_salt(t: pa.Table) -> pa.Table:
+        t = _drop_null_keyed(t)  # same null-key contract as pass 1
         salt = (
             t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
             // range_size
         )
-        h = pd.util.hash_array(conv.astype(object)) * np.uint64(1000003) ^ pd.util.hash_array(
-            salt
-        )
-        t = t.append_column("_salt", pa.array(salt.astype(np.int32)))
-        return t.append_column("_b", pa.array((h % nb).astype(np.int32)))
+        return t.append_column("_salt", pa.array(salt, pa.int64()))
 
     def local_bucket(g: pd.DataFrame) -> pa.Table:
         return _salted_local_checks(
-            g.drop(columns=["_b", "_salt"]).assign(
+            g.drop(columns=["_salt"]).assign(
                 conv_id=g["conv_id"].astype(str) + "\x1f" + g["_salt"].astype(str)
             ),
             ray.get(bref),
         )
 
-    local = (
-        ds.select_columns(["conv_id", "turn_idx", "ts"])
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_b")
-        .map_groups(local_bucket, batch_format="pandas")
+    local = bucketed_map_groups(
+        ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
+            add_salt, batch_format="pyarrow"
+        ),
+        ["conv_id", "_salt"],
+        local_bucket,
+        num_buckets=num_buckets,
+        out_schema=VIOLATION_PA_SCHEMA,
     )
     return boundary.union(local)
 

@@ -37,7 +37,16 @@ def grouped_running_sum(
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(keys + orders, kind="stable")
-        df[out_col] = df.groupby(keys, sort=False)[value_col].cumsum().round(6)
+        v = df[value_col]
+        if pd.api.types.is_integer_dtype(v):
+            # pandas cumsum PRESERVES narrow int widths (an int32 prefix
+            # sum silently wraps past 2^31) — widen before accumulating,
+            # matching SQL's SUM OVER promotion to BIGINT
+            df["_v64"] = v.astype(np.int64)
+            df[out_col] = df.groupby(keys, sort=False)["_v64"].cumsum()
+            df = df.drop(columns=["_v64"])
+        else:
+            df[out_col] = df.groupby(keys, sort=False)[value_col].cumsum().round(6)
         return df
 
     from .sampling import _input_schema
@@ -46,7 +55,7 @@ def grouped_running_sum(
     out_schema = None
     if in_sch is not None:
         vt = in_sch.field(value_col).type
-        out_t = vt if pa.types.is_integer(vt) else pa.float64()
+        out_t = pa.int64() if pa.types.is_integer(vt) else pa.float64()
         out_schema = in_sch.append(pa.field(out_col, out_t))
     return bucketed_map_groups(ds, keys, run, out_schema=out_schema)
 

@@ -764,3 +764,172 @@ def test_resize_bmp_mode_emits_bmp_container(ray_session):
     payload = out.loc[0, "payload"]
     assert payload[:2] == b"BM"
     assert _MiniBMP.open(io.BytesIO(payload)).size == (3, 2)
+
+
+# --- round-5 second review pass: cross-path parity fixes ---------------------
+
+
+def test_salted_checks_exclude_null_keyed_rows(ray_session):
+    """conv_checks_salted must apply the same null-key contract as the
+    bucketed kernels: rows with null conv_id/turn_idx are 'required' row
+    violations upstream, not conversation-check input (a null turn_idx
+    would otherwise astype to int64 garbage and emit bogus violations)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.checks import (
+        conv_checks_salted,
+        conv_checks_violations,
+    )
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", None, "a", "b", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, None, 0, 2], pa.int32()),
+            "ts": pa.array([1, 2, 3, 4, 5, 6], pa.timestamp("us")),
+        }
+    )
+    cols = ["conv_id", "turn_idx", "keyword", "message"]
+    got = (
+        conv_checks_salted(rd.from_arrow(t), range_size=2)
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = (
+        conv_checks_violations(rd.from_arrow(t))
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # exactly one violation: conv b's gap at turn 2; no 'None' conv rows
+    assert list(want["conv_id"]) == ["b"]
+    assert list(want["keyword"]) == ["contiguity"]
+
+
+def test_duplicate_key_violations_exclude_null_keys(ray_session):
+    """The standalone uniqueness path agrees with the combined
+    conv-check path on null-keyed rows: both exclude them."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.checks import duplicate_key_violations
+
+    t = pa.table(
+        {
+            "conv_id": pa.array([None, None, "a", "a"], pa.string()),
+            "turn_idx": pa.array([0, 0, 1, 1], pa.int32()),
+        }
+    )
+    out = duplicate_key_violations(rd.from_arrow(t)).to_pandas()
+    assert list(out["conv_id"]) == ["a"]  # the null-key pair is NOT a dup
+
+
+def test_ts_order_after_all_nat_group_matches_sql(ray_session):
+    """A turn group that is entirely NaT must not exempt the NEXT group
+    from the running-max check — SQL's MAX(ts) OVER skips NULLs, and all
+    four engine paths (pandas bucket, Arrow bucket, salted, oracle) must
+    agree on that."""
+    import duckdb
+    import ray.data as rd
+
+    from jsonschema_ray.stages.checks import (
+        _run_bucket,
+        _run_bucket_table,
+        conv_checks_salted,
+    )
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c", "c", "c"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2], pa.int32()),
+            # turn1 all-NaT; turn2 regresses below turn0's ts
+            "ts": pa.array([5_000_000, None, 3_000_000], pa.timestamp("us")),
+        }
+    )
+    want = duckdb.connect().execute(
+        """
+        WITH s AS (
+          SELECT conv_id, turn_idx, ts,
+                 MAX(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+          FROM t)
+        SELECT conv_id, turn_idx FROM s WHERE ts < prev_max
+        """
+    ).df()
+    assert list(want["turn_idx"]) == [2]  # SQL flags the regression
+    arrow = _run_bucket_table(t, ("order",)).to_pandas()
+    pandas_ = _run_bucket(t.to_pandas(), ("order",)).to_pandas()
+    salted = conv_checks_salted(rd.from_arrow(t), range_size=2).to_pandas()
+    for got in (arrow, pandas_, salted):
+        assert list(got["turn_idx"]) == [2], got
+
+
+def test_violation_turn_idx_overflow_fails_loud():
+    """turn_idx past 2^31-1 cannot be represented in the int32 violation
+    schema — the Arrow kernel must raise (as the pandas kernel's pa.array
+    cast does), never silently wrap to a corrupted index."""
+    from jsonschema_ray.stages.checks import _run_bucket_table
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c", "c"], pa.string()),
+            "turn_idx": pa.array([0, 2**31 + 5], pa.int64()),
+            "ts": pa.array([1, 2], pa.timestamp("us")),
+        }
+    )
+    with pytest.raises(OverflowError, match="int32"):
+        _run_bucket_table(t, ("contiguity",))
+
+
+def test_running_sum_widens_int32(ray_session):
+    """Integer running sums accumulate in int64 (pandas cumsum preserves
+    narrow widths — an int32 prefix sum past 2^31 would silently wrap)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.window import grouped_running_sum
+
+    big = 2_000_000_000  # 2e9: two rows overflow int32
+    t = pa.table(
+        {
+            "k": pa.array(["g"] * 3, pa.string()),
+            "o": pa.array([1, 2, 3], pa.int32()),
+            "v": pa.array([big, big, big], pa.int32()),
+        }
+    )
+    out = (
+        grouped_running_sum(rd.from_arrow(t), ["k"], ["o"], "v")
+        .to_pandas()
+        .sort_values("o")
+    )
+    assert list(out["running_sum"]) == [big, 2 * big, 3 * big]
+
+
+def test_topk_block_cut_respects_rounded_ties(ray_session):
+    """Per-block candidate selection uses the same (rounded sim desc,
+    vec_id asc) order as the global merge, so results do not depend on
+    which block rounded-tied vectors land in."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.ann import cosine_topk
+
+    # query q=0; vectors 1..4 all exactly tied; 5 clearly worse.  With
+    # k=2 the winner set must be the two smallest ids among the tie.
+    base = np.array([1.0, 0.0, 0.0])
+    tied = [base] * 4
+    rows = {
+        "vec_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "embedding": pa.array(
+            [base.tolist()] + [v.tolist() for v in tied] + [[0.0, 1.0, 0.0]],
+            pa.list_(pa.float64()),
+        ),
+    }
+    for nblocks in (1, 3, 6):
+        ds = rd.from_arrow(pa.table(rows)).repartition(nblocks)
+        out = (
+            cosine_topk(ds, [0], k=2)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert list(out["vec_id"]) == [1, 2], f"nblocks={nblocks}: {out}"
