@@ -94,7 +94,14 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
         else:
             df = t.select([id_col, text_col]).to_pandas()
             group_col_ = text_col
-        g = df.groupby(group_col_, sort=False)[id_col].agg(["min", "size"]).reset_index()
+        # dropna=False: a null text must still produce a keeper row (SQL
+        # GROUP BY keeps NULL as a group; the default pandas groupby would
+        # silently drop every null-text document from the output)
+        g = (
+            df.groupby(group_col_, sort=False, dropna=False)[id_col]
+            .agg(["min", "size"])
+            .reset_index()
+        )
         return pa.Table.from_pandas(
             g.rename(columns={"min": "_min_id", "size": "_cnt"}), preserve_index=False
         )
@@ -104,7 +111,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
     from .bucketing import bucketed_map_groups
 
     def combine_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(group_col, sort=False).agg(
+        g = df.groupby(group_col, sort=False, dropna=False).agg(
             doc_id_kept=("_min_id", "min"), n_copies=("_cnt", "sum")
         )
         return pd.DataFrame(
@@ -371,22 +378,26 @@ def _minhash_batch(t: pa.Table, k: int, n: int, text_col: str, id_col: str) -> p
     return mh(t)
 
 
-def minhash_signatures(ds, k: int = 128, n: int = 3, concurrency=None):
+def minhash_signatures(
+    ds, k: int = 128, n: int = 3, concurrency=None, text_col="text", id_col="doc_id"
+):
     """→ Dataset (doc_id, sig list<int64>[k]).  Stateless tasks + worker
     cache by default; pass ``concurrency`` for an explicit actor pool
-    (useful when the permutation state should pin to a fixed pool)."""
+    (useful when the permutation state should pin to a fixed pool).
+    The output id column is always named ``doc_id`` whatever ``id_col``
+    names the input (downstream band/verify stages key on that)."""
     if concurrency is not None:
         return ds.map_batches(
             MinHasher,
             batch_format="pyarrow",
             concurrency=concurrency,
-            fn_constructor_kwargs=dict(k=k, n=n),
+            fn_constructor_kwargs=dict(k=k, n=n, text_col=text_col, id_col=id_col),
         )
     return ds.map_batches(
         _minhash_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs=dict(k=k, n=n, text_col="text", id_col="doc_id"),
+        fn_kwargs=dict(k=k, n=n, text_col=text_col, id_col=id_col),
     )
 
 
@@ -435,7 +446,7 @@ def minhash_lsh_pairs(
     ``verify=True`` / oracle runs.
     """
     r = k // bands
-    sigs = minhash_signatures(ds, k=k, n=n)
+    sigs = minhash_signatures(ds, k=k, n=n, text_col=text_col, id_col=id_col)
 
     def band_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -913,8 +924,12 @@ def embedding_dup_pairs(
         method = _route_embedding_method(ds)
 
     if method == "lsh":
-        sample = ds.take(1)[0]
-        d = len(sample[vec_col])
+        sample_rows = ds.take(1)
+        if not sample_rows:  # empty dataset: no pairs (exact path parity)
+            import ray.data as _rd
+
+            return _rd.from_arrow(_SCH_PAIRS_SIM.empty_table())
+        d = len(sample_rows[0][vec_col])
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((d, tables * bits))
         pows = 1 << np.arange(bits)
@@ -1017,9 +1032,11 @@ def embedding_dup_pairs(
             ids_parts.append(t[id_col].to_numpy(zero_copy_only=False))
             mat_parts.append(_batch_matrix(t, vec_col))
     if not ids_parts:
-        return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
-            {"a": np.int64, "b": np.int64, "sim": np.float64}
-        )
+        # empty input → an (empty) Dataset like every other branch, so
+        # callers can keep chaining .map_batches()/.to_pandas()
+        import ray.data as _rd
+
+        return _rd.from_arrow(_SCH_PAIRS_SIM.empty_table())
     ids_all = np.concatenate(ids_parts)
     order = np.argsort(ids_all)
     ids_all = ids_all[order]
@@ -1060,8 +1077,12 @@ def embedding_dup_pairs(
 def dedup_keep_first(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ Dataset of surviving rows: one representative (min id) per
     distinct content.  Composition: exact_dedup's combiner finds the
-    keeper ids, then a semi-join on the id filters the corpus — both
-    stages shuffle only ids, never the text."""
+    keeper ids (that stage shuffles only 8-byte hashes), then a semi-join
+    on the id filters the corpus.  The semi-join's left side carries the
+    text THROUGH its exchange — one text shuffle, the documented cost of
+    returning surviving rows (curate.py's chain accounts it the same
+    way); use :func:`exact_dedup` directly when only keeper ids are
+    needed."""
     from .joins import hash_join
 
     keepers = exact_dedup(ds, text_col=text_col, id_col=id_col).map_batches(

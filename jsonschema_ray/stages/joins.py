@@ -2,8 +2,10 @@
 
 Both follow the engine's shuffle discipline:
 
-* :func:`asof_join` — "most recent right row at or before the left row's
-  time, per key".  Left and right are hash-bucketed on the key (one
+* :func:`asof_join` — "most recent right row STRICTLY BEFORE the left
+  row's time, per key" by default (``allow_exact_matches=False``, the
+  SQL oracle's ``r.ts < l.ts``); pass ``allow_exact_matches=True`` for
+  at-or-before.  Left and right are hash-bucketed on the key (one
   shuffle each, same bucket space so buckets align); inside a bucket
   ``pandas.merge_asof(by=key)`` resolves every key-group vectorized.
   Partitioning assumption: a single key's rows fit one bucket — the same
@@ -405,7 +407,15 @@ def salted_hash_join(
             hot_arr = ray.get(href)
             key = t[on].combine_chunks().to_numpy(zero_copy_only=False)
             is_hot = np.isin(key, hot_arr)
-            base = pd.util.hash_array(key)
+            # width-normalized hash: a raw pd.util.hash_array is
+            # width-sensitive for negative ints (int32 -1 and int64 -1
+            # hash apart), so an int32 left key against an int64 right
+            # key would land the SAME key in different buckets and
+            # silently drop matches — the exact hazard hash_join already
+            # guards via hash_normalized
+            from .bucketing import hash_normalized
+
+            base = hash_normalized(key)
             reps = np.ones(len(key), dtype=np.int64)
             if side == "R":
                 reps[is_hot] = n_salts  # replicate hot right rows

@@ -146,7 +146,10 @@ def _group_counts(ds, group_col: str) -> pd.Series:
         ds.select_columns([group_col])
         .map_batches(partial_counts, batch_format="pyarrow")
         .to_pandas()
-        .groupby(group_col)["_c"]
+        # dropna=False: a null group is still a group (SQL PARTITION BY
+        # puts NULLs in one partition) — the default would silently drop
+        # every null-group row from the sample with no quota accounting
+        .groupby(group_col, dropna=False)["_c"]
         .sum()
     )
 
@@ -156,13 +159,28 @@ def _quota_head(ds, group_col: str, quota: dict, id_col: str):
     hash order (local prune → one group-keyed exchange)."""
     from .bucketing import bucketed_map_groups
 
+    # a NaN quota key (the null group) cannot be looked up via .map —
+    # NaN != NaN — so split it out and apply it through a notna mask
+    null_quota = 0
+    qmap: dict = {}
+    for g, q in quota.items():
+        if pd.isna(g):
+            null_quota = q
+        else:
+            qmap[g] = q
+
     def head(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy(np.int64).view(np.uint64)
         rank = ids * _STRAT_K  # uint64 wraparound IS mod 2^64
         df = df.assign(_rank=rank)
         df = df.sort_values([group_col, "_rank", id_col], kind="stable")
-        k = df[group_col].map(quota).to_numpy()
-        keep = df.groupby(group_col, sort=False).cumcount().to_numpy() < k
+        k = df[group_col].map(qmap)
+        if null_quota:
+            k = k.where(df[group_col].notna(), null_quota)
+        k = k.fillna(0).to_numpy()
+        keep = (
+            df.groupby(group_col, sort=False, dropna=False).cumcount().to_numpy() < k
+        )
         return df[keep].drop(columns=["_rank"])
 
     pruned = ds.map_batches(head, batch_format="pandas")

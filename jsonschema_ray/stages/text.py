@@ -177,34 +177,55 @@ def fingerprints(ds, text_col="text", id_col="doc_id", window: int = 16):
 
     @wraparound_ok
     def fp(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        full = np.zeros(len(texts), dtype=np.uint64)
-        minw = np.zeros(len(texts), dtype=np.uint64)
-        for i, s in enumerate(texts):
-            cps = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32).astype(
-                np.uint64
-            )
-            n = len(cps)
-            if n == 0:
-                continue
-            pow_b = np.ones(n, dtype=np.uint64)
-            pow_inv = np.ones(n, dtype=np.uint64)
-            if n > 1:
-                np.multiply.accumulate(
-                    np.full(n - 1, _RK_BASE, dtype=np.uint64), out=pow_b[1:]
-                )
-                np.multiply.accumulate(
-                    np.full(n - 1, binv, dtype=np.uint64), out=pow_inv[1:]
-                )
-            pref = np.empty(n + 1, dtype=np.uint64)
-            pref[0] = 0
-            np.cumsum(cps * pow_inv, out=pref[1:])
-            full[i] = pref[n] * pow_b[n - 1]
-            if n >= window:
-                wins = (pref[window:] - pref[: n - window + 1]) * pow_b[window - 1 :]
-                minw[i] = wins.min()
-            else:
-                minw[i] = full[i]
+        # Whole-batch kernel (no per-row numpy allocations): all docs'
+        # codepoints concatenate into ONE flat array, and the per-doc
+        # power factors cancel algebraically — with global tables
+        # POW[k]=B^k, PINV[k]=B^-k and S = prefix sum of cps·PINV,
+        #   pref_local[j] = (S[start+j] - S[start])·B^start
+        # so full = (S[end]-S[start])·POW[end-1] and the window at global
+        # position g is (S[g+w]-S[g])·POW[g+w-1]: one set of global
+        # tables serves every document, identical values to the per-doc
+        # formulation (differential-tested).
+        texts = t[text_col].combine_chunks().fill_null("").to_pylist()
+        n_docs = len(texts)
+        full = np.zeros(n_docs, dtype=np.uint64)
+        minw = np.zeros(n_docs, dtype=np.uint64)
+        if n_docs:
+            joined = "".join(texts)
+            cps = np.frombuffer(
+                joined.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
+            lens = np.fromiter(map(len, texts), dtype=np.int64, count=n_docs)
+            N = len(cps)
+            if N:
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                POW = np.ones(N, dtype=np.uint64)
+                PINV = np.ones(N, dtype=np.uint64)
+                if N > 1:
+                    np.multiply.accumulate(
+                        np.full(N - 1, _RK_BASE, dtype=np.uint64), out=POW[1:]
+                    )
+                    np.multiply.accumulate(
+                        np.full(N - 1, binv, dtype=np.uint64), out=PINV[1:]
+                    )
+                S = np.empty(N + 1, dtype=np.uint64)
+                S[0] = 0
+                np.cumsum(cps * PINV, out=S[1:])
+                ne = lens > 0
+                full[ne] = (S[ends[ne]] - S[starts[ne]]) * POW[ends[ne] - 1]
+                minw = full.copy()
+                el = lens >= window
+                if el.any():
+                    wc = (lens[el] - window + 1).astype(np.int64)
+                    woff = np.concatenate([[0], np.cumsum(wc)[:-1]])
+                    pos = (
+                        np.arange(int(wc.sum()), dtype=np.int64)
+                        - np.repeat(woff, wc)
+                        + np.repeat(starts[el], wc)
+                    )
+                    wins = (S[pos + window] - S[pos]) * POW[pos + window - 1]
+                    minw[el] = np.minimum.reduceat(wins, woff)
         return pa.table(
             {
                 id_col: t[id_col],

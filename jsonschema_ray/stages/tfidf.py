@@ -190,7 +190,10 @@ def bm25_topk(
         .sum()
     )
     N = int(totals["_n"]) if n_docs is None else int(n_docs)
-    avgdl = float(totals["_tok"]) / max(N, 1)
+    # avgdl always comes from the scan (scanned tokens / SCANNED docs) —
+    # dividing by a caller-overridden N would corrupt the length
+    # normalization, contradicting the contract above
+    avgdl = float(totals["_tok"]) / max(int(totals["_n"]), 1)
 
     _SCH_TF = pa.schema(
         [

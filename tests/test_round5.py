@@ -933,3 +933,228 @@ def test_topk_block_cut_respects_rounded_ties(ray_session):
             .reset_index(drop=True)
         )
         assert list(out["vec_id"]) == [1, 2], f"nblocks={nblocks}: {out}"
+
+
+def test_fingerprints_batch_kernel_matches_per_doc_reference(ray_session):
+    """The whole-batch fingerprint kernel (global power tables, per-doc
+    factors cancelled algebraically) is value-identical to the per-doc
+    rolling-hash formulation on adversarial inputs: empty docs, nulls,
+    below/at/above window length, astral-plane unicode."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.text import _RK_BASE, fingerprints
+
+    def reference(s: str, window: int = 16):
+        binv = np.uint64(pow(int(_RK_BASE), -1, 1 << 64))
+        with np.errstate(over="ignore"):
+            cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            n = len(cps)
+            if n == 0:
+                return 0, 0
+            pow_b = np.ones(n, dtype=np.uint64)
+            pow_inv = np.ones(n, dtype=np.uint64)
+            if n > 1:
+                np.multiply.accumulate(
+                    np.full(n - 1, _RK_BASE, dtype=np.uint64), out=pow_b[1:]
+                )
+                np.multiply.accumulate(
+                    np.full(n - 1, binv, dtype=np.uint64), out=pow_inv[1:]
+                )
+            pref = np.empty(n + 1, dtype=np.uint64)
+            pref[0] = 0
+            np.cumsum(cps * pow_inv, out=pref[1:])
+            full = pref[n] * pow_b[n - 1]
+            if n >= window:
+                wins = (pref[window:] - pref[: n - window + 1]) * pow_b[window - 1 :]
+                mw = wins.min()
+            else:
+                mw = full
+            return int(full.astype(np.int64)), int(np.uint64(mw).astype(np.int64))
+
+    rng = np.random.default_rng(77)
+    docs = ["", None, "a", "ab" * 7, "x" * 16, "y" * 17, "日本語テスト" * 5, "𝔘𝔫𝔦" * 8]
+    def rand_cp(c: int) -> str:  # skip the unencodable surrogate block
+        return chr(c + 0x800 if 0xD800 <= c <= 0xDFFF else c)
+
+    docs += [
+        "".join(rand_cp(int(c)) for c in rng.integers(32, 0x2FFFF, size=int(m)))
+        for m in rng.integers(1, 80, size=20)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    got = (
+        fingerprints(rd.from_arrow(t)).to_pandas().set_index("doc_id").sort_index()
+    )
+    for i, s in enumerate(docs):
+        f, mw = reference(s or "")
+        assert got.loc[i, "fp_full"] == f, (i, repr(s))
+        assert got.loc[i, "fp_min_window"] == mw, (i, repr(s))
+
+
+def test_minhash_lsh_pairs_custom_columns(ray_session):
+    """text_col/id_col thread through to the signature stage (they were
+    silently ignored there — KeyError or wrong-column signatures on any
+    table not named (text, doc_id))."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import minhash_lsh_pairs
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "body": pa.array(
+                ["the quick brown fox jumps over the lazy dog today",
+                 "the quick brown fox jumps over the lazy dog today",
+                 "completely different content with no overlap at all here"],
+                pa.string(),
+            ),
+        }
+    )
+    out = minhash_lsh_pairs(
+        rd.from_arrow(t), threshold=0.5, text_col="body", id_col="id"
+    ).to_pandas()
+    assert [(a, b) for a, b in zip(out["a"], out["b"])] == [(1, 2)]
+    assert float(out["jaccard"].iloc[0]) == 1.0
+
+
+def test_exact_dedup_keeps_null_text_group(ray_session):
+    """key='text' grouping must keep null-text docs as ONE group (SQL
+    GROUP BY keeps NULL) — the default pandas groupby dropped them."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([None, None, "x", "x"], pa.string()),
+        }
+    )
+    out = (
+        exact_dedup(rd.from_arrow(t), key="text")
+        .to_pandas()
+        .sort_values("doc_id_kept")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id_kept"]) == [1, 3]
+    assert list(out["n_copies"]) == [2, 2]
+
+
+def test_stratified_sample_keeps_null_group(ray_session):
+    """Rows with a null group value form their own sampling stratum (SQL
+    PARTITION BY semantics) instead of being silently dropped."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.sampling import stratified_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+            "grp": pa.array((["a"] * 50) + ([None] * 50), pa.string()),
+        }
+    )
+    out = stratified_sample(
+        rd.from_arrow(t), group_col="grp", frac=0.2, id_col="doc_id"
+    ).to_pandas()
+    by = out.groupby("grp", dropna=False).size()
+    assert by.get("a", 0) == 10
+    assert by[by.index.isna()].sum() == 10  # the null stratum is sampled too
+
+
+def test_bm25_n_docs_override_leaves_avgdl_alone(ray_session):
+    """n_docs overrides N in the idf only; avgdl must stay the scanned
+    corpus mean (dividing scanned tokens by an overridden N corrupted the
+    length normalization by orders of magnitude)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.tfidf import bm25_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma", "alpha alpha beta", "delta epsilon zeta"],
+                pa.string(),
+            ),
+        }
+    )
+    base = bm25_topk(rd.from_arrow(t), "alpha", k=3).to_pandas()
+    boosted = bm25_topk(
+        rd.from_arrow(t), "alpha", k=3, n_docs=1_000_000
+    ).to_pandas()
+    # same ranked doc set; scores differ ONLY via the idf factor, so the
+    # score RATIO between the two runs is constant across docs
+    assert list(base["doc_id"]) == list(boosted["doc_id"])
+    ratios = (boosted["score"] / base["score"]).round(4).unique()
+    assert len(ratios) == 1
+
+
+def test_salted_hash_join_cross_width_keys(ray_session):
+    """salted_hash_join buckets with the width-normalized hash: an int32
+    left key must meet its int64 right twin (raw pd.util.hash_array
+    hashes negative ints differently per width, silently dropping
+    matches)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.joins import salted_hash_join
+
+    left = pa.table(
+        {
+            "k": pa.array([-1, -1, 2], pa.int32()),
+            "lv": pa.array([10, 11, 12], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([-1, 2], pa.int64()),
+            "rv": pa.array([100, 200], pa.int64()),
+        }
+    )
+    out = (
+        salted_hash_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            on="k",
+            left_cols=["lv"],
+            right_cols=["rv"],
+            hot_keys={-1},
+            n_salts=4,
+        )
+        .to_pandas()
+        .sort_values(["lv"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3  # both -1 rows matched, plus the 2 row
+    assert list(out["rv"]) == [100, 100, 200]
+
+
+def test_embedding_dup_pairs_empty_input_both_methods(ray_session):
+    """Both routing paths return an (empty) Dataset on empty input —
+    previously exact returned a pandas DataFrame and lsh crashed on the
+    dimensionality probe."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.dedup import embedding_dup_pairs
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    )
+    for method in ("exact", "lsh"):
+        out = embedding_dup_pairs(empty, threshold=0.9, method=method)
+        # Dataset API (chainable), typed schema, zero rows.  (Ray's
+        # to_pandas() drops columns on empty datasets, so assert on the
+        # Dataset schema itself.)
+        assert out.schema().names == ["a", "b", "sim"]
+        assert out.count() == 0
+        assert len(out.to_pandas()) == 0
