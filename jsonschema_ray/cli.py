@@ -126,18 +126,42 @@ def main(argv: list[str] | None = None) -> int:
             )
             if args.baseline:
                 from .stages.drift import (
+                    DEFAULT_DRIFT_FEATURES,
                     drift_profile,
                     drift_violations,
                     load_baseline,
                 )
 
-                baseline = load_baseline(args.baseline)
-                candidate = drift_profile(rd.read_parquet(args.input))
-                dviol = drift_violations(baseline, candidate)
-                summary["drift_violations"] = dviol.num_rows
-                summary["drift_messages"] = dviol["message"].to_pylist()
-                if dviol.num_rows > 0:
-                    summary["verdict"] = "fail"
+                # restrict drift features to columns the input actually
+                # has (text_len derives from text) — a custom --schema
+                # table without role/tool would otherwise KeyError inside
+                # a Ray task AFTER the whole validation run completed
+                names = set(rd.read_parquet(args.input).schema().names)
+                feats = {
+                    "categorical": [
+                        c
+                        for c in DEFAULT_DRIFT_FEATURES["categorical"]
+                        if c in names
+                    ],
+                    "numeric": [
+                        c
+                        for c in DEFAULT_DRIFT_FEATURES["numeric"]
+                        if ("text" in names if c == "text_len" else c in names)
+                    ],
+                }
+                if not (feats["categorical"] or feats["numeric"]):
+                    summary["drift_skipped"] = (
+                        "input has none of the drift feature columns "
+                        f"{DEFAULT_DRIFT_FEATURES}"
+                    )
+                else:
+                    baseline = load_baseline(args.baseline)
+                    candidate = drift_profile(rd.read_parquet(args.input), feats)
+                    dviol = drift_violations(baseline, candidate, features=feats)
+                    summary["drift_violations"] = dviol.num_rows
+                    summary["drift_messages"] = dviol["message"].to_pylist()
+                    if dviol.num_rows > 0:
+                        summary["verdict"] = "fail"
             print(json.dumps(summary))
             return 0 if summary.get("verdict") == "pass" else 3
         if args.cmd == "curate":
@@ -171,8 +195,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             out.write_parquet(args.out)
             # --out was verified empty above, so this counts exactly this
-            # run's output (metadata-only read, no second data pass)
-            n_out = rd.read_parquet(args.out).count()
+            # run's output (metadata-only read, no second data pass).  Ray
+            # writes NOTHING (not even the directory) for an empty
+            # dataset, so guard the re-read — dropping every row is a
+            # legitimate outcome, not a crash.
+            n_out = (
+                rd.read_parquet(args.out).count()
+                if os.path.isdir(args.out) and os.listdir(args.out)
+                else 0
+            )
             print(
                 json.dumps(
                     {
@@ -207,7 +238,13 @@ def main(argv: list[str] | None = None) -> int:
                 threshold=args.threshold,
             )
             scores.write_parquet(args.out)
-            n_flagged = rd.read_parquet(args.out).count()
+            # a clean corpus flags zero docs and Ray then writes no files
+            # at all — report flagged_docs=0 instead of crashing the read
+            n_flagged = (
+                rd.read_parquet(args.out).count()
+                if os.path.isdir(args.out) and os.listdir(args.out)
+                else 0
+            )
             print(
                 json.dumps(
                     {

@@ -276,7 +276,13 @@ def generate_transcripts(
         raise ValueError(f"unknown variant {variant!r}")
 
     tmp_dir = out_dir + ".tmp"
-    os.makedirs(tmp_dir, exist_ok=True)
+    # clear any half-written tmp from a crashed previous generation — a
+    # smaller rerun would otherwise rename stale part files into the
+    # final dataset (payload_docs_path applies the same discipline)
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
     file_i = 0
     done = 0
     k = 0

@@ -261,9 +261,26 @@ def save_baseline(profile: dict, path: str) -> None:
     import json
     import os
 
+    # v2 envelope records each column's key TYPE: JSON stringifies int
+    # keys, and a blind int() coercion on load would turn a categorical
+    # column of numeric-LOOKING strings ("200"/"404" status codes) into
+    # int keys that never match the candidate profile's string keys —
+    # every category would read as unseen and a clean table as drifted
+    payload = {
+        "__drift_baseline__": 2,
+        "columns": {
+            col: {
+                "keytype": "int"
+                if counts and all(isinstance(k, (int, np.integer)) for k in counts)
+                else "str",
+                "counts": {str(k): v for k, v in counts.items()},
+            }
+            for col, counts in profile.items()
+        },
+    }
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(profile, f)
+        json.dump(payload, f)
     os.replace(tmp, path)
 
 
@@ -272,8 +289,17 @@ def load_baseline(path: str) -> dict:
 
     with open(path) as f:
         raw = json.load(f)
-    # JSON turns int keys into strings; numeric features need them back
     out: dict = {}
+    if isinstance(raw, dict) and raw.get("__drift_baseline__") == 2:
+        for col, ent in raw["columns"].items():
+            if ent["keytype"] == "int":
+                out[col] = {int(k): v for k, v in ent["counts"].items()}
+            else:
+                out[col] = dict(ent["counts"])
+        return out
+    # legacy (v1) file without key-type metadata: best-effort coercion —
+    # digit-like keys become ints (correct for numeric features, wrong
+    # for numeric-looking categoricals; re-save to upgrade)
     for col, counts in raw.items():
         fixed = {}
         for k, v in counts.items():

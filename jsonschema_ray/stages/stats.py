@@ -39,7 +39,6 @@ def grouped_distinct_exact(ds, key_col: str, value_col: str):
     partials — the raw duplicates never shuffle, and a skewed key's
     distinct values spread across buckets (pair hashing), so no single
     worker ever holds a hot key's full value set."""
-    import pandas as pd_  # noqa: F401  (pandas imported at module top)
 
     from .bucketing import bucketed_map_groups
 
@@ -120,6 +119,7 @@ def _col_partial(col: pa.ChunkedArray, name: str, spec: dict) -> dict:
         out["hll"] = hll.to_bytes()
     if is_str and spec.get("categories", True):
         max_cats = spec.get("max_categories", 64)
+        out["cat_cap"] = max_cats  # merge re-applies the cap (see _merge_col)
         # High-cardinality bail: if a 4K-value prefix already exceeds the
         # category cap, the full column can only be wider — skip the
         # full-column hash table (free-text columns pay it otherwise).
@@ -158,14 +158,24 @@ def _merge_col(a: dict, b: dict) -> dict:
         ).to_bytes()
     elif "hll" in a or "hll" in b:
         out["hll"] = a.get("hll", b.get("hll"))
-    ca, cb = a.get("categories"), b.get("categories")
-    if ca is not None and cb is not None:
-        m = dict(ca)
-        for k, v in cb.items():
-            m[k] = m.get(k, 0) + v
-        out["categories"] = m
-    elif "categories" in a or "categories" in b:
-        out["categories"] = None if (ca is None and cb is None) else (ca or cb)
+    if "categories" in a or "categories" in b:
+        cap = a.get("cat_cap", b.get("cat_cap", 64))
+        out["cat_cap"] = cap
+        ca, cb = a.get("categories"), b.get("categories")
+        if ("categories" in a and ca is None) or (
+            "categories" in b and cb is None
+        ):
+            # a high-cardinality bail in ANY partial is authoritative —
+            # absorbing the other side's dict would report membership and
+            # counts that depend on batch partitioning
+            out["categories"] = None
+        else:
+            m = dict(ca or {})
+            for k, v in (cb or {}).items():
+                m[k] = m.get(k, 0) + v
+            # re-apply the cap: two ≤cap partials can merge past it, and
+            # the verdict must match what a single-batch run would say
+            out["categories"] = m if len(m) <= cap else None
     return out
 
 

@@ -287,16 +287,23 @@ def spans_to_strings(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> p
         return pa.array([], pa.string())
     lens = lens.astype(np.int64)
     total = int(lens.sum())
-    offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(lens, out=offsets[1:])
+    off64 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off64[1:])
     if total == 0:
         data = np.empty(0, np.uint8)
     else:
         reps = np.repeat(starts.astype(np.int64), lens)
-        intra = np.arange(total, dtype=np.int64) - np.repeat(
-            offsets[:-1].astype(np.int64), lens
-        )
+        intra = np.arange(total, dtype=np.int64) - np.repeat(off64[:-1], lens)
         data = buf[reps + intra]
+    if total > np.iinfo(np.int32).max:
+        # string offsets are int32 — past 2 GiB of span bytes an int32
+        # cumsum would silently wrap into negative offsets (corrupt
+        # array); emit a large_string (int64 offsets) instead
+        return pa.LargeStringArray.from_buffers(
+            n, pa.py_buffer(off64.tobytes()), pa.py_buffer(data.tobytes())
+        )
     return pa.StringArray.from_buffers(
-        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())
+        n,
+        pa.py_buffer(off64.astype(np.int32).tobytes()),
+        pa.py_buffer(data.tobytes()),
     )

@@ -96,6 +96,13 @@ def run_resumable(
         raise FileNotFoundError(f"no parquet files under {input_path}")
     shards = [files[i : i + shard_size] for i in range(0, len(files), shard_size)]
 
+    # the run CONFIG is part of a shard's lineage: a rerun with a
+    # different --schema or --mode must recompute, not reuse the previous
+    # config's results (old manifests lack the key → mismatch → rerun)
+    import hashlib as _hashlib
+
+    cfg = _hashlib.sha256(f"{mode}\x00{schema_json}".encode()).hexdigest()[:16]
+
     os.makedirs(os.path.join(out_dir, "shards"), exist_ok=True)
     summary = {"shards_total": len(shards), "shards_skipped": 0, "shards_run": 0}
 
@@ -106,7 +113,11 @@ def run_resumable(
         if os.path.exists(man_path):
             with open(man_path) as f:
                 man = json.load(f)
-            if man.get("fingerprint") == fp and man.get("engine_version") == ENGINE_VERSION:
+            if (
+                man.get("fingerprint") == fp
+                and man.get("engine_version") == ENGINE_VERSION
+                and man.get("config") == cfg
+            ):
                 summary["shards_skipped"] += 1
                 continue
         t0 = time.time()
@@ -120,6 +131,7 @@ def run_resumable(
             "shard": si,
             "input_files": shard_files,
             "fingerprint": fp,
+            "config": cfg,
             "engine_version": ENGINE_VERSION,
             "n_rows": n_rows,
             "n_violations": n_viol,
@@ -132,6 +144,17 @@ def run_resumable(
         os.replace(man_path + ".tmp", man_path)
         summary["shards_run"] += 1
 
+    # Prune shard dirs beyond the current shard count (a previous run over
+    # a larger input leaves orphaned violation parquet that a consumer
+    # globbing shards/*/*.parquet would pick up as live results)
+    import re as _re
+
+    sroot = os.path.join(out_dir, "shards")
+    for d in os.listdir(sroot):
+        m_ = _re.fullmatch(r"shard=(\d+)(\.tmp)?", d)
+        if m_ and (m_.group(2) or int(m_.group(1)) >= len(shards)):
+            shutil.rmtree(os.path.join(sroot, d), ignore_errors=True)
+
     # Global phase: cross-shard checks + profile.
     gdir = os.path.join(out_dir, "global")
     gman_path = os.path.join(gdir, "MANIFEST.json")
@@ -143,6 +166,7 @@ def run_resumable(
         rerun_global = not (
             gman.get("fingerprint") == fp_all
             and gman.get("engine_version") == ENGINE_VERSION
+            and gman.get("config") == cfg
         )
     if rerun_global:
         t0 = time.time()
@@ -156,6 +180,7 @@ def run_resumable(
             json.dump(profile, f, indent=1, default=str)
         gman = {
             "fingerprint": fp_all,
+            "config": cfg,
             "engine_version": ENGINE_VERSION,
             "n_violations": n_gviol,
             "verdict": "pass" if n_gviol == 0 else "fail",

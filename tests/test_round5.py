@@ -1158,3 +1158,126 @@ def test_embedding_dup_pairs_empty_input_both_methods(ray_session):
         assert out.schema().names == ["a", "b", "sim"]
         assert out.count() == 0
         assert len(out.to_pandas()) == 0
+
+
+def test_resume_reruns_on_config_change(ray_session, tmp_path):
+    """A rerun with a different mode/schema must recompute shards — the
+    manifest's skip check includes the run config, not just the input
+    fingerprint (reusing stale results under a new --mode silently
+    reported the OLD config's violations)."""
+    from jsonschema_ray.sources.transcripts import transcripts_path
+    from jsonschema_ray.state import run_resumable
+
+    src = transcripts_path("/root/testdata/sf0.001")
+    out = str(tmp_path / "resume")
+    s1 = run_resumable(src, out, shard_size=1, mode="first")
+    assert s1["shards_run"] > 0
+    s2 = run_resumable(src, out, shard_size=1, mode="first")
+    assert s2["shards_run"] == 0  # unchanged config still skips
+    s3 = run_resumable(src, out, shard_size=1, mode="all")
+    assert s3["shards_run"] == s1["shards_run"]  # new config recomputes
+
+
+def test_stats_category_merge_respects_bail_and_cap():
+    """A high-cardinality bail in ANY partial is authoritative, and two
+    under-cap partials whose union exceeds the cap merge to None — the
+    categorical verdict must not depend on batch partitioning."""
+    from jsonschema_ray.stages.stats import _merge_col
+
+    base = {"count": 10, "nulls": 0}
+    dict_part = {**base, "categories": {"a": 5, "b": 5}, "cat_cap": 64}
+    bail_part = {**base, "categories": None, "cat_cap": 64}
+    assert _merge_col(dict_part, bail_part)["categories"] is None
+    assert _merge_col(bail_part, dict_part)["categories"] is None
+    wide_a = {**base, "categories": {f"a{i}": 1 for i in range(40)}, "cat_cap": 64}
+    wide_b = {**base, "categories": {f"b{i}": 1 for i in range(40)}, "cat_cap": 64}
+    assert _merge_col(wide_a, wide_b)["categories"] is None  # 80 > cap
+    small = {**base, "categories": {"x": 1}, "cat_cap": 64}
+    m = _merge_col(dict_part, small)["categories"]
+    assert m == {"a": 5, "b": 5, "x": 1}
+
+
+def test_drift_baseline_roundtrips_numeric_string_categories(tmp_path):
+    """Categorical values that LOOK numeric ('200'/'404' status codes)
+    survive the save/load round trip as strings — the legacy blind int()
+    coercion turned them into int keys that never matched the candidate
+    profile, reporting a clean table as fully drifted."""
+    from jsonschema_ray.stages.drift import (
+        drift_compare,
+        load_baseline,
+        save_baseline,
+    )
+
+    profile = {
+        "status": {"200": 90, "404": 10},  # categorical, numeric-looking
+        "turn_idx": {0: 50, 1: 50},  # numeric feature: int keys
+    }
+    p = str(tmp_path / "baseline.json")
+    save_baseline(profile, p)
+    back = load_baseline(p)
+    assert back == profile  # exact key types both ways
+    feats = {"categorical": ["status"], "numeric": ["turn_idx"]}
+    stats = drift_compare(back, profile, feats)
+    assert stats["status"]["chi2"] == 0.0  # identical profiles: no drift
+    assert stats["turn_idx"]["ks"] == 0.0
+
+
+def test_generate_transcripts_clears_stale_tmp(tmp_path, monkeypatch):
+    """Part files left in the .tmp dir by a crashed previous generation
+    must not be renamed into the final dataset."""
+    import os
+
+    from jsonschema_ray.sources import transcripts as tr
+
+    out = str(tmp_path / "gen")
+    os.makedirs(out + ".tmp")
+    with open(out + ".tmp/part-00099.parquet", "w") as f:
+        f.write("stale junk from a crashed run")
+    path = tr.generate_transcripts(out, n_turns=500, seed=3)
+    assert path == out
+    assert not os.path.exists(out + ".tmp")
+    assert "part-00099.parquet" not in os.listdir(out)
+
+
+def test_cli_decontaminate_zero_flagged_reports_zero(ray_session, tmp_path, capsys):
+    """A clean corpus flags zero docs; Ray then writes NO output files at
+    all — the CLI must report flagged_docs=0, not crash reading a
+    directory that was never created."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from jsonschema_ray import cli
+
+    train = str(tmp_path / "train.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    _pq.write_table(
+        pa.table({"doc_id": [1], "text": ["alpha beta gamma delta epsilon"]}),
+        train,
+    )
+    _pq.write_table(
+        pa.table({"doc_id": [1], "text": ["zeta eta theta iota kappa"]}), bench
+    )
+    rc = cli.main(
+        [
+            "decontaminate",
+            "--train", train,
+            "--bench", bench,
+            "--out", str(tmp_path / "out"),
+            "--threshold", "0.9",
+        ]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["flagged_docs"] == 0
+
+
+def test_spans_to_strings_small_path_unchanged():
+    from jsonschema_ray.stages.tokhash import spans_to_strings
+
+    buf = np.frombuffer(b"hello world tokens", dtype=np.uint8)
+    starts = np.array([0, 6, 12], dtype=np.int64)
+    lens = np.array([5, 5, 6], dtype=np.int64)
+    arr = spans_to_strings(buf, starts, lens)
+    assert arr.to_pylist() == ["hello", "world", "tokens"]
+    assert pa.types.is_string(arr.type)  # int32 offsets under 2 GiB
