@@ -87,6 +87,14 @@ def curate_corpus(
     # materialized once (distributed, 16 bytes/row) and reused for BOTH the
     # routing measurement and the keep-first semi-join, so auto-routing
     # costs no extra pass over the corpus
+    if pair_method not in ("auto", "exact", "minhash", "minhash_fast"):
+        # fail loud: a typo would otherwise fall through the if/elif chain
+        # into the UNVERIFIED minhash_fast branch — silently weaker dedup
+        # semantics than the caller asked for
+        raise ValueError(
+            f"unknown pair_method {pair_method!r}; expected one of "
+            "'auto', 'exact', 'minhash', 'minhash_fast'"
+        )
     keepers = exact_dedup(ds, text_col=text_col, id_col=id_col).materialize()
     if pair_method == "auto":
         n_distinct = keepers.count()

@@ -352,12 +352,21 @@ def q_segment_revenue(sf_dir: str):
     def seg_join(t: pa.Table, ref) -> pa.Table:
         skeys, scodes, names = ray.get(ref)  # plasma-cached, zero-copy arrays
         ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(skeys, ck)
-        idx_c = np.minimum(idx, len(skeys) - 1)
-        hit = skeys[idx_c] == ck  # unmatched keys → null segment
-        code = np.where(hit, scodes[idx_c], 0).astype(np.int32)
+        if len(skeys) == 0:
+            hit = np.zeros(len(ck), dtype=bool)
+        else:
+            idx = np.searchsorted(skeys, ck)
+            idx_c = np.minimum(idx, len(skeys) - 1)
+            hit = skeys[idx_c] == ck
+        # INNER join semantics, exactly the oracle's JOIN: unmatched
+        # orders DROP (keeping them with a null segment both diverged
+        # from the SQL and crashed Ray's sort on the null key)
+        t = t.filter(pa.array(hit))
+        if t.num_rows == 0:
+            return t.append_column("c_mktsegment", pa.nulls(0, pa.string()))
+        code = scodes[idx_c[hit]].astype(np.int32)
         seg = pa.DictionaryArray.from_arrays(
-            pa.array(code, mask=~hit), pa.array(names, pa.string())
+            pa.array(code), pa.array(names, pa.string())
         ).cast(pa.string())
         return t.append_column("c_mktsegment", seg)
 
@@ -979,11 +988,10 @@ def q_frequent_tokens(sf_dir: str):
     )
 
 
-FREQUENT_TOKENS_SQL = """
+FREQUENT_TOKENS_SQL = r"""
 SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
-  SELECT unnest(string_split(text, ' ')) AS token
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS token
   FROM documents WHERE text IS NOT NULL)
-WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token LIMIT 10
 """
 
@@ -2519,7 +2527,14 @@ def q_neardup_pairs(sf_dir: str):
     """Near-duplicate pairs by BOTH algorithms, tagged: the exact
     shingle-inverted-index path and the MinHash-LSH + distributed-verify
     path (threshold 0.5).  The verified LSH pairs are deterministic and
-    exact-Jaccard-scored, so one exact SQL oracle covers both tags."""
+    exact-Jaccard-scored, so one exact SQL oracle covers both tags.
+
+    Recall caveat the oracle depends on: LSH recall is probabilistic
+    (1-(1-t^r)^b), so the exact oracle holds for the minhash tag only
+    while every true >=threshold pair collides in some band — true for
+    this corpus, whose planted duplicates are near-identical (j≈1, recall
+    ≈1).  A corpus with many pairs just above the threshold would need
+    the rows-only treatment q_minhash_pairs uses."""
     import ray.data as rd
 
     from ..stages.dedup import jaccard_pairs_exact, minhash_lsh_pairs

@@ -38,8 +38,10 @@ def windowed_agg(ds, window: str = "hour", key_col: str = "event_type", ts_col: 
                 "_v": t[value_col].to_pandas(),
             }
         )
+        # dropna=False: SQL GROUP BY emits a NULL key group; the pandas
+        # default would silently drop every null-keyed event
         g = (
-            df.groupby(["window_start", key_col], sort=False)["_v"]
+            df.groupby(["window_start", key_col], sort=False, dropna=False)["_v"]
             .agg(["size", "sum"])
             .reset_index()
         )
@@ -54,7 +56,7 @@ def windowed_agg(ds, window: str = "hour", key_col: str = "event_type", ts_col: 
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         g = (
-            df.groupby(["window_start", key_col], sort=False)
+            df.groupby(["window_start", key_col], sort=False, dropna=False)
             .agg(n_events=("_n", "sum"), sum_value=("_s", "sum"))
             .reset_index()
         )
@@ -97,7 +99,11 @@ def sessionize(ds, gap_minutes: int = 30, user_col: str = "user_id", ts_col: str
                 }
             )
         new_sess = np.ones(n, dtype=bool)
-        same_user = user[1:] == user[:-1]
+        # NULL users form ONE partition (SQL PARTITION BY semantics):
+        # NaN != NaN (and None is not None elementwise), so a raw
+        # equality would split every null-user event into its own session
+        isna = pd.isna(user)
+        same_user = (user[1:] == user[:-1]) | (isna[1:] & isna[:-1])
         new_sess[1:] = ~same_user | ((ts[1:] - ts[:-1]) > gap)
         sess_id = np.cumsum(new_sess)
         g = (
@@ -180,7 +186,7 @@ def sliding_window_agg(
             )
         all_rows = pd.concat(frames, ignore_index=True)
         g = (
-            all_rows.groupby(["window_start", key_col], sort=False)["_v"]
+            all_rows.groupby(["window_start", key_col], sort=False, dropna=False)["_v"]
             .agg(["size", "sum"])
             .reset_index()
         )
@@ -195,7 +201,7 @@ def sliding_window_agg(
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         g = (
-            df.groupby(["window_start", key_col], sort=False)
+            df.groupby(["window_start", key_col], sort=False, dropna=False)
             .agg(n_events=("_n", "sum"), sum_value=("_s", "sum"))
             .reset_index()
         )

@@ -450,10 +450,19 @@ def _branch_viol_mask(col: str, branch: Schema, t: pa.DataType):
 def _one_of_checks(col: str, branches, t: pa.DataType, ctx: str) -> list[_Check]:
     masks = [_branch_viol_mask(col, br, t) for br in branches]
 
+    _memo: dict = {}
+
     def match_count(b: pa.Table) -> np.ndarray:
+        # the two oneOf checks run back-to-back on the same batch —
+        # memoize the branch-count pass by batch identity so each batch
+        # pays N branch evaluations, not 2N (the strong ref holds the
+        # previous batch one step longer; identity stays unambiguous)
+        if _memo.get("b") is b:
+            return _memo["cnt"]
         cnt = np.zeros(b.num_rows, dtype=np.int64)
         for m in masks:
             cnt += ~m(b)
+        _memo["b"], _memo["cnt"] = b, cnt
         return cnt
 
     # two checks so each case carries its exact message
@@ -540,6 +549,17 @@ def _compile_property(
     ):
         raise UnsupportedPlanError(
             f"property {col!r} uses keywords the vectorized layer can't express"
+        )
+    # min/maxProperties only constrain OBJECT values — a non-struct column
+    # can never hold one, so the keyword is vacuous there; on a struct
+    # column the fast path has no object-size kernel and silently dropping
+    # the check would pass rows the slow path rejects
+    if (
+        (prop.min_properties is not None or prop.max_properties is not None)
+        and (pa.types.is_struct(t) or pa.types.is_map(t))
+    ):
+        raise UnsupportedPlanError(
+            f"min/maxProperties on struct column {col!r} needs the slow path"
         )
 
     tok, bit = _arrow_json_type(t)
@@ -779,8 +799,23 @@ def _enum_check(col, prop: Schema, t, is_ts, ctx: str) -> _Check:
     if fitting:
         try:
             value_set = pa.array(fitting, type=t)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            value_set = None
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            # some fitting values still fail CONVERSION (an int past the
+            # int64 range raises OverflowError, a 1e300 float raises
+            # ArrowInvalid on an int column): such a value cannot equal
+            # any representable column value, so drop it per value —
+            # flagging every row (the old all-or-nothing fallback) would
+            # report rows equal to a REPRESENTABLE enum member as
+            # violations, and OverflowError escaped the except entirely,
+            # crashing the task instead of compiling a plan
+            conv = []
+            for v in fitting:
+                try:
+                    pa.array([v], type=t)
+                    conv.append(v)
+                except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+                    pass
+            value_set = pa.array(conv, type=t) if conv else None
     if value_set is None:
         def mask_all(b, c=col):
             return _valid_mask(b[c])

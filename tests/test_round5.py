@@ -1281,3 +1281,129 @@ def test_spans_to_strings_small_path_unchanged():
     arr = spans_to_strings(buf, starts, lens)
     assert arr.to_pylist() == ["hello", "world", "tokens"]
     assert pa.types.is_string(arr.type)  # int32 offsets under 2 GiB
+
+
+def test_enum_overflow_values_drop_per_value(ray_session):
+    """An enum mixing a representable value with an int past int64 (or a
+    1e300 float) must keep matching the representable member — the old
+    all-or-nothing fallback flagged EVERY row, and the int-overflow case
+    crashed compilation with an uncaught OverflowError."""
+    import json
+
+    from jsonschema_ray.core import parse
+    from jsonschema_ray.vector.plan import compile_plan
+
+    schema = parse(
+        json.dumps(
+            {
+                "type": "object",
+                "properties": {"v": {"enum": [5, 10**19]}},
+            }
+        ).encode()
+    )
+    arrow = pa.schema([("v", pa.int64())])
+    plan = compile_plan(schema, arrow)
+    t = pa.table({"v": pa.array([5, 7, None], pa.int64())})
+    idx, kws, _msgs = plan.evaluate(t, mode="all")
+    enum_rows = [int(i) for i, k in zip(idx, kws) if k == "enum"]
+    # row 0 matches enum member 5; row 1 matches nothing; null passes
+    assert enum_rows == [1]
+
+
+def test_min_properties_on_struct_routes_to_slow_path():
+    """minProperties/maxProperties on a struct column has no fast-path
+    kernel — compilation must raise UnsupportedPlanError (routing callers
+    to the slow path) instead of silently dropping the check."""
+    import json
+
+    from jsonschema_ray.core import parse
+    from jsonschema_ray.vector.plan import UnsupportedPlanError, compile_plan
+
+    schema = parse(
+        json.dumps(
+            {
+                "type": "object",
+                "properties": {"meta": {"type": "object", "minProperties": 2}},
+            }
+        ).encode()
+    )
+    arrow = pa.schema(
+        [("meta", pa.struct([("a", pa.int64()), ("b", pa.int64())]))]
+    )
+    with pytest.raises(UnsupportedPlanError, match="slow path"):
+        compile_plan(schema, arrow)
+
+
+def test_windowed_agg_keeps_null_key_group(ray_session):
+    """Events with a NULL key still aggregate (SQL GROUP BY emits a NULL
+    group; the pandas default silently dropped them)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.events import windowed_agg
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", None, None], pa.string()),
+            "ts": pa.array([1_000_000, 2_000_000, 3_000_000], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    out = windowed_agg(rd.from_arrow(t), window="hour").to_pandas()
+    null_rows = out[out["event_type"].isna()]
+    assert len(null_rows) == 1
+    assert int(null_rows["n_events"].iloc[0]) == 2
+    assert float(null_rows["sum_value"].iloc[0]) == 5.0
+
+
+def test_sessionize_groups_null_users_into_one_partition(ray_session):
+    """NULL user_ids form one session partition (SQL PARTITION BY), not
+    one session per event (NaN != NaN under raw equality)."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.events import sessionize
+
+    base = 1_700_000_000_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([None, None, None, 7], pa.int64()),
+            "ts": pa.array(
+                [base, base + 60_000_000, base + 120_000_000, base], pa.timestamp("us")
+            ),
+            "value": pa.array([1.0, 1.0, 1.0, 1.0], pa.float64()),
+        }
+    )
+    out = sessionize(rd.from_arrow(t), gap_minutes=30).to_pandas()
+    null_sessions = out[out["user_id"].isna()]
+    assert len(null_sessions) == 1  # one session covering all 3 null rows
+    assert int(null_sessions["n_events"].iloc[0]) == 3
+
+
+def test_curate_rejects_unknown_pair_method(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.curate import curate_corpus
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["x"]})
+    )
+    with pytest.raises(ValueError, match="unknown pair_method"):
+        curate_corpus(ds, pair_method="Exact")
+
+
+def test_segment_revenue_empty_customer_dim(ray_session, tmp_path):
+    """q_segment_revenue must not IndexError when the customer dim is
+    empty — unmatched orders get a null segment."""
+    import shutil
+
+    from jsonschema_ray.pipelines.queries import q_segment_revenue
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    import pyarrow.parquet as _pq
+
+    cust = _pq.read_table(f"{sf}/customer.parquet")
+    _pq.write_table(cust.slice(0, 0), f"{sf}/customer.parquet")
+    out = q_segment_revenue(sf)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    # inner-join semantics (the oracle's JOIN): no matches → no groups
+    assert len(df) == 0
