@@ -84,7 +84,10 @@ class Remote:
                 )
             try:
                 with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                    if resp.status >= 299:
+                    # urllib already raises HTTPError for non-2xx, so this
+                    # only guards exotic handlers; >= 300 keeps 299 (a
+                    # legal 2xx) accepted
+                    if resp.status >= 300:
                         raise ResolveError(f"bad HTTP code {resp.status}")
                     return resp.read()
             except urllib.error.URLError as e:

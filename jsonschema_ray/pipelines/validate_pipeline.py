@@ -24,7 +24,9 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sources.transcripts import TRANSCRIPT_SCHEMA_JSON
 from ..stages.checks import (
@@ -67,14 +69,29 @@ def transcript_violations(
     batch_size: int = 65536,
     conv_strategy: str = "bucket",
     fused: bool | None = None,
+    sort: bool = True,
 ):
     """→ Dataset of violation rows, sorted by (conv_id, turn_idx).
+
+    ``sort=False`` skips the final ordering exchange on the two-scan
+    parts plan — for consumers that only need the violation SET (joins,
+    counts); the fused routes always emit sorted output.
 
     ``fused=None`` (default) auto-routes the full-check bucket-strategy
     configuration to :func:`transcript_violations_fused` — one input scan
     instead of two, measured 2-3.3× faster at the compute-bound scale
     (BASELINE.md, single-scan fusion A/B).  ``fused=False`` forces the
     two-scan plan (the A/B baseline)."""
+    # fail loud on bad check selections: a typo ('uniqe') would otherwise
+    # silently drop coverage, and an empty tuple crashed with a bare
+    # IndexError at plan-assembly time
+    unknown = set(checks) - set(ALL_CHECKS)
+    if unknown:
+        raise ValueError(
+            f"unknown checks {sorted(unknown)}; valid names: {list(ALL_CHECKS)}"
+        )
+    if not checks:
+        raise ValueError("checks must name at least one of " + str(list(ALL_CHECKS)))
     conv_only = "rows" not in checks and set(checks) == {
         "referential",
         "unique",
@@ -278,7 +295,7 @@ def transcript_violations(
     out = parts[0]
     if len(parts) > 1:
         out = out.union(*parts[1:])
-    return out.sort(["conv_id", "turn_idx", "keyword"])
+    return out.sort(["conv_id", "turn_idx", "keyword"]) if sort else out
 
 
 def _maybe_coalesce_read(ds):
@@ -650,9 +667,32 @@ def transcript_violations_fused(
     except UnsupportedPlanError:
         plan = None
     if plan is None:
-        # non-vectorizable schema → the two-scan plan's exact fallback
-        return transcript_violations(
-            ds, schema_json=schema_json, mode=mode, fused=False
+        # non-vectorizable schema → the two-scan plan's exact fallback.
+        # exclude_convs must survive the downgrade: conv checks run only
+        # on the COLD conversations (the caller covers hot via the salted
+        # kernel) — otherwise every hot conversation's unique/contiguity/
+        # order violations are emitted twice and the skew the guard
+        # exists for comes back through the fallback
+        if not exclude_convs:
+            return transcript_violations(
+                ds, schema_json=schema_json, mode=mode, fused=False
+            )
+        from ..stages.checks import conv_checks_violations
+
+        rowsref = transcript_violations(
+            ds,
+            schema_json=schema_json,
+            mode=mode,
+            fused=False,
+            checks=("rows", "referential"),
+        )
+        cold = ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
+            _exclude_filter(exclude_convs),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return rowsref.union(conv_checks_violations(cold)).sort(
+            ["conv_id", "turn_idx", "keyword"]
         )
 
     statics = None
@@ -720,8 +760,12 @@ def transcript_violations_fused(
                 pa.table(
                     {
                         "conv_id": pa.array(viol["conv_id"], pa.string()),
-                        "turn_idx": pa.array(
-                            viol["turn_idx"].to_numpy(), pa.int32()
+                        # from_pandas: a 'required' violation on a null
+                        # turn_idx floats to NaN through pandas, and a
+                        # raw pa.array(..., int32) would raise on it —
+                        # NaN must come back as a NULL turn_idx
+                        "turn_idx": pa.Array.from_pandas(
+                            viol["turn_idx"], type=pa.int32()
                         ),
                         "keyword": pa.array(viol["keyword"], pa.string()),
                         "message": pa.array(viol["message"], pa.string()),
@@ -991,6 +1035,11 @@ def _direct_bucket_exchange(ds, make_parts, bucket_of, nparts, reduce_parts, bat
 
     @ray.remote(num_returns=2 * nparts)
     def split_block(block: pa.Table):
+        if isinstance(block, pd.DataFrame):
+            # upstream pandas map stages yield pandas blocks — same guard
+            # as bucketing._direct_map_groups, without it num_rows raises
+            # inside the task instead of the graceful AllToAll fallback
+            block = pa.Table.from_pandas(block, preserve_index=False)
         viols: list[list[pa.Table]] = [[] for _ in range(nparts)]
         convs: list[list[pa.Table]] = [[] for _ in range(nparts)]
         vproto = cproto = None
@@ -1371,25 +1420,35 @@ def quarantine_split(
     from ..stages.joins import hash_join
 
     viol_keys = (
-        transcript_violations(ds, schema_json=schema_json, checks=("rows",))
+        # sort=False: only unordered join keys are needed — the final
+        # all-to-all sort of the violation stream would be a wasted
+        # exchange here
+        transcript_violations(
+            ds, schema_json=schema_json, checks=("rows",), sort=False
+        )
         .map_batches(
             lambda t: t.select(list(key_cols)),
             batch_format="pyarrow",
         )
     )
-    # composite key → single join key (hash of the pair)
-    import pandas as pd
 
+    # composite key → ONE join key, built injectively (validity flags +
+    # a separator the stringified turn can never contain), NOT a 64-bit
+    # hash: at billions of rows a hash-only membership join silently
+    # misroutes every colliding clean row into quarantine
     def keyed(d):
         def fn(t: pa.Table) -> pa.Table:
-            import numpy as np
-
-            conv = t[key_cols[0]].combine_chunks().to_numpy(zero_copy_only=False)
-            turn = t[key_cols[1]].combine_chunks().to_numpy(zero_copy_only=False)
-            k = pd.util.hash_array(conv.astype(object)) * np.uint64(1000003) ^ pd.util.hash_array(
-                turn.astype(np.int64)
+            conv = t[key_cols[0]].cast(pa.string())
+            turn = t[key_cols[1]].cast(pa.int64()).cast(pa.string())
+            flags = pc.binary_join_element_wise(
+                pc.if_else(pc.is_valid(conv), "1", "0"),
+                pc.if_else(pc.is_valid(turn), "1", "0"),
+                "",
             )
-            return t.append_column("_k", pa.array(k.astype(np.int64)))
+            k = pc.binary_join_element_wise(
+                flags, pc.fill_null(conv, ""), pc.fill_null(turn, ""), "\x1f"
+            )
+            return t.append_column("_k", k)
 
         return d.map_batches(fn, batch_format="pyarrow")
 

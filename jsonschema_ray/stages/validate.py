@@ -71,11 +71,21 @@ class VectorValidator:
         with_referential: bool = False,
     ) -> None:
         self.plan: VectorPlan = compile_plan(parse(schema_json), arrow_schema)
+        self.arrow_schema = arrow_schema
         self.id_cols = list(id_cols)
         self.mode = mode
         self.with_referential = with_referential
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # same batch/plan type reconciliation as validate_rows_batch —
+        # pandas stages degrade all-null columns to Arrow null type
+        if batch.schema.names == self.arrow_schema.names and not batch.schema.equals(
+            self.arrow_schema
+        ):
+            try:
+                batch = batch.cast(self.arrow_schema)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                pass
         idx, kws, msgs = self.plan.evaluate(batch, mode=self.mode)
         out = _emit(batch, idx, kws, msgs, self.id_cols)
         if self.with_referential:
@@ -112,6 +122,18 @@ def validate_rows_batch(
         plan = _PLAN_CACHE.setdefault(
             key, compile_plan(parse(schema_json), arrow_schema)
         )
+    if batch.schema.names == arrow_schema.names and not batch.schema.equals(
+        arrow_schema
+    ):
+        # reconcile batch types with the plan's schema: a pandas stage
+        # upstream degrades an all-null column to Arrow null type, and a
+        # string-typed check kernel would crash on it — casting null→T is
+        # always valid (all values stay null).  Incompatible real drift
+        # fails the cast loudly, which is the right outcome.
+        try:
+            batch = batch.cast(arrow_schema)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            pass  # let the plan's own kernels surface the type error
     idx, kws, msgs = plan.evaluate(batch, mode=mode)
     out = _emit(batch, idx, kws, msgs, list(id_cols))
     if with_referential:

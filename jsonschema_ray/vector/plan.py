@@ -540,6 +540,13 @@ def _compile_property(
     patternProperties entry (validate.go:471-478's wrap)."""
     if ctx is None:
         ctx = f"object: {go_quote(col)}: "
+    if pa.types.is_null(t):
+        # pandas stages degrade an all-null column to Arrow null type —
+        # every value is null, i.e. the property is ABSENT on every row
+        # (the engine's null-is-absent contract), so no value-level check
+        # can ever fire; presence (`required`) is evaluated separately
+        # via is_valid, which handles null-typed columns fine
+        return []
     if (
         prop.properties
         or prop.pattern_properties

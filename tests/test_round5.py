@@ -1407,3 +1407,146 @@ def test_segment_revenue_empty_customer_dim(ray_session, tmp_path):
     df = out.to_pandas() if hasattr(out, "to_pandas") else out
     # inner-join semantics (the oracle's JOIN): no matches → no groups
     assert len(df) == 0
+
+
+def test_fused_hash_plan_handles_null_turn_violations(ray_session):
+    """A 'required' violation on a null turn_idx floats to NaN through
+    the hash plan's pandas bucket — the kernel must emit a NULL turn_idx
+    violation row, not crash converting NaN to int32."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "b"], pa.string()),
+            "turn_idx": pa.array([0, None, 0], pa.int32()),
+            "role": pa.array(["user", "assistant", "user"], pa.string()),
+            "text": pa.array(["hello world"] * 3, pa.string()),
+            "tool": pa.array([None] * 3, pa.string()),
+            "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        }
+    )
+    # in-memory dataset: no footer stats → fused1 bails → hash plan
+    got = transcript_violations(rd.from_arrow(t)).to_pandas()
+    want = transcript_violations(rd.from_arrow(t), fused=False).to_pandas()
+    key = ["conv_id", "turn_idx", "keyword", "message"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+    # the null-turn row's violation flows through the pandas bucket as
+    # NaN and must come back as a NULL turn_idx (this used to crash)
+    assert got["turn_idx"].isna().sum() == 1
+
+
+def test_transcript_violations_rejects_bad_checks(ray_session):
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+
+    ds = rd.from_arrow(pa.table({"conv_id": ["a"], "turn_idx": [0]}))
+    with pytest.raises(ValueError, match="unknown checks"):
+        transcript_violations(ds, checks=("rows", "uniqe"))
+    with pytest.raises(ValueError, match="at least one"):
+        transcript_violations(ds, checks=())
+
+
+def test_hot_split_slow_path_fallback_respects_exclusion(
+    ray_session, planted_parquet, monkeypatch
+):
+    """Hot conversation + a NON-vectorizable schema: the fused plan's
+    slow-path fallback must still exclude the hot conversations from its
+    conv checks (the caller covers them via the salted kernel) — the old
+    fallback ran conv checks over everything, duplicating every hot
+    uniqueItems/contiguity/order violation."""
+    import json
+
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+
+    monkeypatch.setenv("GRAFT_HOT_CONV_ROWS", "20000")
+    schema = json.dumps(
+        {
+            "type": "object",
+            # nested `properties` under a property → UnsupportedPlanError
+            # (vacuous for string values, so row results are unchanged)
+            "properties": {
+                "conv_id": {"type": "string"},
+                "turn_idx": {"type": "integer"},
+                "text": {"properties": {"x": {"type": "string"}}},
+            },
+            "required": ["conv_id", "turn_idx"],
+        }
+    )
+    got = transcript_violations(
+        rd.read_parquet(planted_parquet), schema_json=schema
+    ).to_pandas()
+    want = transcript_violations(
+        rd.read_parquet(planted_parquet), schema_json=schema, fused=False
+    ).to_pandas()
+    key = ["conv_id", "turn_idx", "keyword", "message"]
+    pd.testing.assert_frame_equal(  # multiset equality: no duplicates
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+    dup = got[(got["conv_id"] == "conv-00000001") & (got["keyword"] == "uniqueItems")]
+    assert len(dup) == 1  # the planted duplicate is reported exactly once
+
+
+def test_direct_exchange_handles_pandas_blocks(ray_session, planted_parquet, monkeypatch):
+    """A pandas map stage upstream of the fused plan yields pandas
+    blocks; the direct exchange's split task must convert them (its
+    bucketing twin already does) instead of crashing on .num_rows."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines import transcript_violations
+
+    monkeypatch.delenv("GRAFT_HOT_CONV_ROWS", raising=False)
+
+    def roundtrip(df):
+        # all-null columns lose their Arrow type through pandas; restore
+        # tool's string dtype so the type contract survives the stage
+        return df.assign(tool=df["tool"].astype("string"))
+
+    ds = rd.read_parquet(planted_parquet).map_batches(
+        roundtrip, batch_format="pandas"
+    )
+    got = transcript_violations(ds).to_pandas()
+    want = transcript_violations(
+        rd.read_parquet(planted_parquet), fused=False
+    ).to_pandas()
+    key = ["conv_id", "turn_idx", "keyword", "message"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_quarantine_split_exact_keys(ray_session):
+    """Quarantine membership joins on an injective composite key, not a
+    64-bit hash — and null-keyed rows route to quarantine with their
+    'required' violation."""
+    import ray.data as rd
+
+    from jsonschema_ray.pipelines.validate_pipeline import quarantine_split
+
+    ca, cb = "conv-00000001", "conv-00000002"
+    t = pa.table(
+        {
+            "conv_id": pa.array([ca, ca, None, cb], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+            "role": pa.array(["user", "assistant", "user", "user"], pa.string()),
+            "text": pa.array(["hello world", "", "hello world", "hello world"], pa.string()),
+            "tool": pa.array([None] * 4, pa.string()),
+            "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+        }
+    )
+    clean, bad = quarantine_split(rd.from_arrow(t))
+    cdf, bdf = clean.to_pandas(), bad.to_pandas()
+    # row 1 (empty text → minLength) and row 2 (null conv_id → required)
+    # quarantine; rows 0 and 3 stay clean
+    assert sorted(cdf["turn_idx"].tolist()) == [0, 0]
+    assert sorted(cdf["conv_id"].tolist()) == [ca, cb]
+    assert len(bdf) == 2
