@@ -26,12 +26,11 @@ def _num_equal(a: JNum, b: JNum) -> bool:
     la, lb = a.lexeme, b.lexeme
     if la == lb:
         return True
-    fa_zero = a.fraction() == 0
-    fb_zero = b.fraction() == 0
-    if fa_zero and fb_zero:
+    if a.fraction() == 0 and b.fraction() == 0:
         return True
-    if fa_zero != fb_zero:
-        return False
+    # NOTE no "one side zero → unequal" rung: the reference has none
+    # (equal.go:50-69) — it falls through to the float64 fast path, where
+    # an underflowing lexeme like 1e-999 parses to 0.0 and EQUALS zero.
     if a.is_int and b.is_int:
         # Distinct non-zero integer lexemes (JSON forbids leading zeros /
         # plus signs) denote distinct values.

@@ -13,6 +13,7 @@ We reproduce this with :class:`JNum`, which wraps the raw lexeme string that
 
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 from functools import lru_cache
 
@@ -117,6 +118,13 @@ def tree_value(v):
     if isinstance(v, bool):
         return v
     if isinstance(v, float):
+        if not math.isfinite(v):
+            # Arrow float columns can carry NaN/Inf, which JSON cannot
+            # express (and pandas round-trips can't distinguish NaN from
+            # null anyway) — map non-finite to the engine's null-is-absent
+            # convention instead of minting an invalid lexeme whose
+            # fraction() crashes numeric keywords downstream
+            return None
         return JNum(repr(v))
     if isinstance(v, int):
         return JNum(str(v))

@@ -43,7 +43,10 @@ def _unescape(part: str) -> str:
 
 
 def _find_idx(arr: list, part: str):
-    if not part.isdigit():
+    # ASCII digits only, like the reference's strconv.ParseUint: Python's
+    # str.isdigit() also accepts Unicode digits ('٣', '²'), which would
+    # silently resolve (or crash int()) where Go reports invalid syntax
+    if not part or not all("0" <= c <= "9" for c in part):
         raise PointerError(f'find index "{part}": index: invalid syntax')
     idx = int(part)
     if idx < len(arr):

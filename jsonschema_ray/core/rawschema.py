@@ -103,12 +103,16 @@ def _want_num(v, kw: str) -> JNum:
 
 def _want_uint(v, kw: str) -> int:
     # Go decodes these into *uint64: the literal must be a non-negative
-    # lexical integer.
+    # lexical integer WITHIN uint64 range (2^64 overflows Go's unmarshal
+    # with a range error — accepting a Python bigint here would compile
+    # schemas the reference reports as parse failures).
     if not isinstance(v, JNum) or not v.is_int:
         _err(f"{kw}: cannot unmarshal into uint64")
     n = int(v.lexeme)
     if n < 0:
         _err(f"{kw}: cannot unmarshal negative value into uint64")
+    if n > 2**64 - 1:
+        _err(f"{kw}: cannot unmarshal number {v.lexeme} into uint64 (overflow)")
     return n
 
 
@@ -140,11 +144,31 @@ def _parse_additional(v, kw: str) -> tuple:
     _err(f"{kw}: unexpected type {json_token_type(v)!r}")
 
 
+# Keywords whose Go struct field is a plain type, pointer, or slice:
+# encoding/json treats a JSON null for these as "not present" (no-op,
+# no error).  The remaining keywords (type, properties,
+# patternProperties, dependencies, minimum, maximum, multipleOf) are
+# NON-pointer fields with custom UnmarshalJSON, which encoding/json DOES
+# invoke on null — their jx decoders error, so null stays a parse error
+# for them (raw_schema.go:85-120 field-by-field).
+_NULL_IS_ABSENT = frozenset(
+    {
+        "id", "$ref", "format", "enum", "allOf", "anyOf", "oneOf", "not",
+        "minProperties", "maxProperties", "required",
+        "additionalProperties", "minItems", "maxItems", "uniqueItems",
+        "items", "additionalItems", "exclusiveMinimum", "exclusiveMaximum",
+        "maxLength", "minLength", "pattern",
+    }
+)
+
+
 def raw_schema_from_tree(tree) -> RawSchema:
     if not isinstance(tree, dict):
         _err(f"schema must be an object, got {json_token_type(tree)}")
     s = RawSchema()
     for key, v in tree.items():
+        if v is None and key in _NULL_IS_ABSENT:
+            continue
         if key == "id":
             s.id = _want_str(v, "id")
         elif key == "$ref":

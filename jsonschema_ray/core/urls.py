@@ -9,7 +9,7 @@ accepts it silently.
 
 from __future__ import annotations
 
-from urllib.parse import unquote, urldefrag, urljoin, urlsplit
+from urllib.parse import unquote, urldefrag, urljoin, urlsplit, uses_relative
 
 __all__ = ["URLError", "parse_url", "resolve_url", "strip_fragment", "fragment_of"]
 
@@ -47,12 +47,59 @@ def parse_url(ref: str) -> str:
     return ref
 
 
+def _remove_dot_segments(p: str) -> str:
+    """RFC 3986 §5.2.4 (Go applies it in ResolveReference)."""
+    absolute = p.startswith("/")
+    segs: list[str] = []
+    for seg in p.split("/"):
+        if seg in (".", ""):
+            continue
+        if seg == "..":
+            if segs:
+                segs.pop()
+            continue
+        segs.append(seg)
+    out = "/".join(segs)
+    if absolute:
+        out = "/" + out
+    if segs and (p.endswith("/") or p.endswith("/.") or p.endswith("/..")):
+        out += "/"
+    return out
+
+
 def resolve_url(base: str | None, ref: str) -> str:
     """``base.Parse(ref)`` / ``ResolveReference`` semantics (RFC 3986)."""
     _check(ref)
     if not base:
         return ref
-    return urljoin(base, ref)
+    b = urlsplit(base)
+    if not b.scheme or b.scheme in uses_relative:
+        return urljoin(base, ref)
+    # urllib's urljoin refuses relative resolution for schemes outside
+    # its uses_relative allowlist (tag:, urn:, custom) and silently
+    # returns the bare ref — Go's URL.ResolveReference is scheme-
+    # agnostic RFC 3986, so merge manually for those schemes
+    r = urlsplit(ref)
+    if r.scheme:
+        return ref
+    base_nf, _ = urldefrag(base)
+    if not ref:
+        return base_nf
+    if ref.startswith("#"):
+        return base_nf + ref
+    bb = urlsplit(base_nf)
+    frag = f"#{r.fragment}" if r.fragment else ""
+    query = f"?{r.query}" if r.query else ""
+    netloc = f"//{bb.netloc}" if bb.netloc else ""
+    if not r.path:
+        return f"{b.scheme}:{netloc}{bb.path}{query or ('?' + bb.query if bb.query else '')}{frag}"
+    if r.path.startswith("/"):
+        path = _remove_dot_segments(r.path)
+    else:
+        head = bb.path.rpartition("/")[0]
+        merged = f"{head}/{r.path}" if "/" in bb.path else r.path
+        path = _remove_dot_segments(merged)
+    return f"{b.scheme}:{netloc}{path}{query}{frag}"
 
 
 def strip_fragment(u: str) -> str:

@@ -43,10 +43,17 @@ def grouped_running_sum(
             # sum silently wraps past 2^31) — widen before accumulating,
             # matching SQL's SUM OVER promotion to BIGINT
             df["_v64"] = v.astype(np.int64)
-            df[out_col] = df.groupby(keys, sort=False)["_v64"].cumsum()
+            # dropna=False: a NULL-key partition still gets its running sum
+            # (SQL PARTITION BY keeps NULLs as one partition; the default
+            # would NaN-poison the int64 column through a float upcast)
+            df[out_col] = df.groupby(keys, sort=False, dropna=False)["_v64"].cumsum()
             df = df.drop(columns=["_v64"])
         else:
-            df[out_col] = df.groupby(keys, sort=False)[value_col].cumsum().round(6)
+            df[out_col] = (
+                df.groupby(keys, sort=False, dropna=False)[value_col]
+                .cumsum()
+                .round(6)
+            )
         return df
 
     from .sampling import _input_schema
@@ -69,7 +76,7 @@ def grouped_quantile(ds, key_cols, value_col: str, q: float = 0.5):
 
     def quant(df: pd.DataFrame) -> pd.DataFrame:
         g = (
-            df.groupby(keys, sort=False)[value_col]
+            df.groupby(keys, sort=False, dropna=False)[value_col]  # NULL key = a group
             .quantile(q, interpolation="linear")
             .round(6)
             .reset_index(name=out_col)

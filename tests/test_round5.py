@@ -1550,3 +1550,129 @@ def test_quarantine_split_exact_keys(ray_session):
     assert sorted(cdf["turn_idx"].tolist()) == [0, 0]
     assert sorted(cdf["conv_id"].tolist()) == [ca, cb]
     assert len(bdf) == 2
+
+
+# --- core-module review fixes -----------------------------------------------
+
+
+def test_num_equal_underflow_matches_reference_ladder():
+    """equal.go has no 'one side zero → unequal' rung: 0 vs an
+    underflowing lexeme (1e-999) reaches the float64 fast path where
+    both parse to 0.0 and compare EQUAL."""
+    from jsonschema_ray.core.equal import equal
+    from jsonschema_ray.core.jsontypes import JNum
+
+    assert equal(JNum("0"), JNum("1e-999"))
+    assert equal(JNum("1e-999"), JNum("0.0"))
+    assert not equal(JNum("0"), JNum("0.5"))
+    assert not equal(JNum("0"), JNum("5"))
+    # overflow still falls back to the exact rational compare
+    assert not equal(JNum("1e999"), JNum("2e999"))
+    assert equal(JNum("1e999"), JNum("1e999"))
+
+
+def test_rawschema_null_keyword_values_match_go_field_semantics():
+    """encoding/json: null into a plain/pointer/slice field is 'not
+    present' (no error); null into a non-pointer custom-unmarshal field
+    (type, properties, minimum, ...) calls the decoder and errors."""
+    import json
+
+    from jsonschema_ray.core import parse
+    from jsonschema_ray.core.compiler import SchemaCompileError
+
+    ok = parse(
+        json.dumps(
+            {
+                "required": None,
+                "enum": None,
+                "items": None,
+                "maxLength": None,
+                "not": None,
+                "allOf": None,
+                "additionalProperties": None,
+                "uniqueItems": None,
+            }
+        ).encode()
+    )
+    assert ok.check(b"{}") is None  # all keywords absent → anything passes
+    for kw in ("type", "properties", "patternProperties", "minimum", "dependencies"):
+        with pytest.raises(SchemaCompileError):  # parse errors wrap here
+            parse(json.dumps({kw: None}).encode())
+
+
+def test_rawschema_uint64_overflow_is_parse_error():
+    import json
+
+    from jsonschema_ray.core import parse
+    from jsonschema_ray.core.compiler import SchemaCompileError
+
+    with pytest.raises(SchemaCompileError, match="uint64"):
+        parse(json.dumps({"maxLength": 2**64}).encode())
+    assert parse(json.dumps({"maxLength": 2**64 - 1}).encode()) is not None
+
+
+def test_pointer_index_ascii_digits_only():
+    """strconv.ParseUint parity: Unicode digits ('٣', '²') are invalid
+    syntax, reported as PointerError — not silently resolved, not a bare
+    ValueError."""
+    from jsonschema_ray.core.pointer import PointerError, find
+
+    tree = ["a", "b", "c", "d"]
+    assert find("#/3", tree)[1] == "d"
+    for bad in ("٣", "²", "", "3x"):
+        with pytest.raises(PointerError, match="invalid syntax"):
+            find(f"#/{bad}", tree)
+
+
+def test_resolve_url_scheme_agnostic_relative_refs():
+    """Go's URL.ResolveReference is scheme-agnostic RFC 3986; urllib's
+    urljoin silently drops the base for schemes outside its allowlist
+    (tag:, urn:) — the port must still merge."""
+    from jsonschema_ray.core.urls import resolve_url
+
+    base = "tag:example,2024:schemas/root"
+    assert resolve_url(base, "other") == "tag:example,2024:schemas/other"
+    assert resolve_url(base, "#/defs/a") == base + "#/defs/a"
+    assert resolve_url(base, "sub/x") == "tag:example,2024:schemas/sub/x"
+    assert resolve_url(base, "../up") == "tag:up"  # RFC 5.2.4: .. pops the one dir segment
+    assert resolve_url(base, "http://h/x") == "http://h/x"  # absolute wins
+    assert resolve_url("urn:a:b/c", "d") == "urn:a:b/d"
+    # allowlisted schemes keep urllib's exact behavior
+    assert resolve_url("http://h/a/b", "c") == "http://h/a/c"
+
+
+def test_tree_value_nonfinite_floats_are_null():
+    from jsonschema_ray.core.jsontypes import tree_value
+
+    assert tree_value(float("nan")) is None
+    assert tree_value(float("inf")) is None
+    assert tree_value(float("-inf")) is None
+    assert tree_value(1.5).lexeme == "1.5"
+    assert tree_value([1.0, float("nan")])[1] is None
+
+
+def test_grouped_running_sum_and_quantile_keep_null_groups(ray_session):
+    """NULL-key rows form their own partition in the window kernels (SQL
+    PARTITION BY / GROUP BY semantics) — the pandas default NaN-poisoned
+    the running sum and dropped the quantile group."""
+    import ray.data as rd
+
+    from jsonschema_ray.stages.window import grouped_quantile, grouped_running_sum
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, None, "a"], pa.string()),
+            "o": pa.array([1, 2, 3, 4], pa.int32()),
+            "v": pa.array([10, 1, 2, 20], pa.int32()),
+        }
+    )
+    rs = (
+        grouped_running_sum(rd.from_arrow(t), ["k"], ["o"], "v")
+        .to_pandas()
+        .sort_values("o")
+    )
+    assert rs["running_sum"].tolist() == [10, 1, 3, 30]
+    q = grouped_quantile(rd.from_arrow(t), ["k"], "v", q=0.5).to_pandas()
+    assert len(q) == 2  # 'a' AND the null group
+    null_q = q[q["k"].isna()]["q50"].iloc[0]
+    assert float(null_q) == 1.5

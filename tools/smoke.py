@@ -46,6 +46,12 @@ def main():
     e.SF01 = SF  # rebuild path-parameterized oracles against this scale
     qs, oracles = e.queries(), e.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name would otherwise skip everything and print a
+        # false 'FAILS: none'
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -59,8 +65,6 @@ def main():
         try:
             got = fn(SF)
             got = got.to_pandas() if hasattr(got, "to_pandas") else got
-            if hasattr(got, "to_pandas"):  # pyarrow Table
-                got = got.to_pandas()
         except Exception as ex:
             print(f"FAIL {name}: raised {type(ex).__name__}: {ex}")
             fails.append(name)
