@@ -149,6 +149,20 @@ def main(argv: list[str] | None = None) -> int:
                         if ("text" in names if c == "text_len" else c in names)
                     ],
                 }
+                dropped = sorted(
+                    (set(DEFAULT_DRIFT_FEATURES["categorical"]) - set(feats["categorical"]))
+                    | {
+                        c
+                        for c in DEFAULT_DRIFT_FEATURES["numeric"]
+                        if c not in feats["numeric"]
+                    }
+                )
+                if dropped:
+                    # a PARTIAL restriction is itself a signal (a feature
+                    # column disappearing is drift) — surface it instead
+                    # of silently verifying fewer features than the
+                    # baseline holds
+                    summary["drift_features_skipped"] = dropped
                 if not (feats["categorical"] or feats["numeric"]):
                     summary["drift_skipped"] = (
                         "input has none of the drift feature columns "

@@ -48,23 +48,38 @@ def parse_url(ref: str) -> str:
 
 
 def _remove_dot_segments(p: str) -> str:
-    """RFC 3986 §5.2.4 (Go applies it in ResolveReference)."""
-    absolute = p.startswith("/")
-    segs: list[str] = []
-    for seg in p.split("/"):
-        if seg in (".", ""):
-            continue
-        if seg == "..":
-            if segs:
-                segs.pop()
-            continue
-        segs.append(seg)
-    out = "/".join(segs)
-    if absolute:
-        out = "/" + out
-    if segs and (p.endswith("/") or p.endswith("/.") or p.endswith("/..")):
-        out += "/"
-    return out
+    """RFC 3986 §5.2.4, literally (Go applies it in ResolveReference).
+    Empty segments ('x//y') are PRESERVED — they are distinct URLs."""
+    out: list[str] = []
+    inp = p
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1)
+            if i == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
 
 
 def resolve_url(base: str | None, ref: str) -> str:
@@ -90,6 +105,17 @@ def resolve_url(base: str | None, ref: str) -> str:
     bb = urlsplit(base_nf)
     frag = f"#{r.fragment}" if r.fragment else ""
     query = f"?{r.query}" if r.query else ""
+    if r.netloc:
+        # network-path reference (//host/path): the REF's authority wins
+        # (RFC 5.3 / Go ResolveReference), never the base's
+        return f"{b.scheme}://{r.netloc}{_remove_dot_segments(r.path)}{query}{frag}"
+    if not bb.netloc and bb.path and not bb.path.startswith("/"):
+        # OPAQUE base (scheme:non-slash — Go sets URL.Opaque): Go's
+        # ResolveReference contributes NOTHING of the opaque part to a
+        # relative path ref; resolvePath("", ref) roots it with a
+        # leading slash ("tag:opaque" + "x" → "tag:/x")
+        path = _remove_dot_segments("/" + r.path) if r.path else ""
+        return f"{b.scheme}:{path}{query}{frag}"
     netloc = f"//{bb.netloc}" if bb.netloc else ""
     if not r.path:
         return f"{b.scheme}:{netloc}{bb.path}{query or ('?' + bb.query if bb.query else '')}{frag}"

@@ -400,6 +400,7 @@ def _files_fingerprint(files) -> str:
     h = hashlib.blake2b(digest_size=16)
     for f in files:
         h.update(str(f).encode())
+        h.update(b"|")  # unambiguous record: path|stat\0
         try:
             st = _os.stat(f)
             h.update(b"%d:%d" % (st.st_mtime_ns, st.st_size))
@@ -685,15 +686,17 @@ def transcript_violations_fused(
             mode=mode,
             fused=False,
             checks=("rows", "referential"),
+            sort=False,  # the hot-split caller sorts the final union once
         )
         cold = ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
             _exclude_filter(exclude_convs),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        return rowsref.union(conv_checks_violations(cold)).sort(
-            ["conv_id", "turn_idx", "keyword"]
-        )
+        # no sort here either: exclude_convs is only ever passed by
+        # _fused_with_hot_split, which sorts after unioning the salted
+        # stream — sorting three times paid two wasted all-to-alls
+        return rowsref.union(conv_checks_violations(cold))
 
     statics = None
     if plan.static_violations:

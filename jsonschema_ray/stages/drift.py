@@ -266,13 +266,23 @@ def save_baseline(profile: dict, path: str) -> None:
     # column of numeric-LOOKING strings ("200"/"404" status codes) into
     # int keys that never match the candidate profile's string keys —
     # every category would read as unseen and a clean table as drifted
+    def _keytype(counts: dict) -> str:
+        # bool is a subclass of int — classify it first or int('True')
+        # crashes the load
+        if counts and all(isinstance(k, bool) for k in counts):
+            return "bool"
+        if counts and all(
+            isinstance(k, (int, np.integer)) and not isinstance(k, bool)
+            for k in counts
+        ):
+            return "int"
+        return "str"
+
     payload = {
         "__drift_baseline__": 2,
         "columns": {
             col: {
-                "keytype": "int"
-                if counts and all(isinstance(k, (int, np.integer)) for k in counts)
-                else "str",
+                "keytype": _keytype(counts),
                 "counts": {str(k): v for k, v in counts.items()},
             }
             for col, counts in profile.items()
@@ -294,6 +304,8 @@ def load_baseline(path: str) -> dict:
         for col, ent in raw["columns"].items():
             if ent["keytype"] == "int":
                 out[col] = {int(k): v for k, v in ent["counts"].items()}
+            elif ent["keytype"] == "bool":
+                out[col] = {k == "True": v for k, v in ent["counts"].items()}
             else:
                 out[col] = dict(ent["counts"])
         return out

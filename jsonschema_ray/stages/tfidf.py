@@ -74,6 +74,10 @@ def tfidf_top_terms(ds, k: int = 5, n_docs: int | None = None, text_col="text", 
         rep = order[gstarts]  # one occurrence index per (doc, term)
         return pa.table(
             {
+                # >2 GiB of distinct-term bytes in ONE batch would return
+                # large_string and fail the downstream string-typed
+                # schema cast loudly — a pathological batch size, bounded
+                # by choosing batch_size long before that point
                 "term": spans_to_strings(buf, starts[rep], lens[rep]),
                 "doc_id": pa.array(ids[sg[rep]]),
                 "tf": pa.array((gends - gstarts).astype(np.int64)),

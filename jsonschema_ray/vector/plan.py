@@ -452,17 +452,23 @@ def _one_of_checks(col: str, branches, t: pa.DataType, ctx: str) -> list[_Check]
 
     _memo: dict = {}
 
-    def match_count(b: pa.Table) -> np.ndarray:
+    def match_count(b: pa.Table, final: bool = False) -> np.ndarray:
         # the two oneOf checks run back-to-back on the same batch —
         # memoize the branch-count pass by batch identity so each batch
-        # pays N branch evaluations, not 2N (the strong ref holds the
-        # previous batch one step longer; identity stays unambiguous)
+        # pays N branch evaluations, not 2N.  The SECOND check clears the
+        # memo (final=True): plans are cached process-wide, so retaining
+        # the last batch would pin one full block per oneOf property in
+        # every warm worker between runs.
         if _memo.get("b") is b:
-            return _memo["cnt"]
+            cnt = _memo["cnt"]
+            if final:
+                _memo.clear()
+            return cnt
         cnt = np.zeros(b.num_rows, dtype=np.int64)
         for m in masks:
             cnt += ~m(b)
-        _memo["b"], _memo["cnt"] = b, cnt
+        if not final:
+            _memo["b"], _memo["cnt"] = b, cnt
         return cnt
 
     # two checks so each case carries its exact message
@@ -477,7 +483,7 @@ def _one_of_checks(col: str, branches, t: pa.DataType, ctx: str) -> list[_Check]
         _Check(
             col,
             "oneOf",
-            lambda b, _c=col: _valid_mask(b[_c]) & (match_count(b) == 0),
+            lambda b, _c=col: _valid_mask(b[_c]) & (match_count(b, final=True) == 0),
             f"{ctx}oneOf: must match at least once",
         ),
     ]

@@ -1625,18 +1625,23 @@ def test_pointer_index_ascii_digits_only():
 
 
 def test_resolve_url_scheme_agnostic_relative_refs():
-    """Go's URL.ResolveReference is scheme-agnostic RFC 3986; urllib's
-    urljoin silently drops the base for schemes outside its allowlist
-    (tag:, urn:) — the port must still merge."""
+    """Go's URL.ResolveReference is scheme-agnostic; urllib's urljoin
+    silently drops the base for schemes outside its allowlist (tag:,
+    urn:) — the port must resolve like Go.  Go parses scheme:non-slash
+    as an OPAQUE URL whose ResolveReference contributes nothing of the
+    opaque part to a relative path ref: resolvePath("", ref) roots it
+    with a leading slash ("tag:opaque" + "x" → "tag:/x")."""
     from jsonschema_ray.core.urls import resolve_url
 
     base = "tag:example,2024:schemas/root"
-    assert resolve_url(base, "other") == "tag:example,2024:schemas/other"
+    assert resolve_url(base, "other") == "tag:/other"
     assert resolve_url(base, "#/defs/a") == base + "#/defs/a"
-    assert resolve_url(base, "sub/x") == "tag:example,2024:schemas/sub/x"
-    assert resolve_url(base, "../up") == "tag:up"  # RFC 5.2.4: .. pops the one dir segment
+    assert resolve_url(base, "sub/x") == "tag:/sub/x"
+    assert resolve_url(base, "../up") == "tag:/up"
     assert resolve_url(base, "http://h/x") == "http://h/x"  # absolute wins
-    assert resolve_url("urn:a:b/c", "d") == "urn:a:b/d"
+    assert resolve_url("urn:a:b/c", "d") == "urn:/d"
+    # authority-form custom schemes get the full hierarchical merge
+    assert resolve_url("tag://host/a/b", "c") == "tag://host/a/c"
     # allowlisted schemes keep urllib's exact behavior
     assert resolve_url("http://h/a/b", "c") == "http://h/a/c"
 
@@ -1676,3 +1681,64 @@ def test_grouped_running_sum_and_quantile_keep_null_groups(ray_session):
     assert len(q) == 2  # 'a' AND the null group
     null_q = q[q["k"].isna()]["q50"].iloc[0]
     assert float(null_q) == 1.5
+
+
+def test_resolve_url_network_path_and_empty_segments():
+    """The ref's authority wins for //host refs, and empty path segments
+    are preserved (RFC 3986 literal remove_dot_segments) — both match
+    Go's scheme-agnostic ResolveReference."""
+    from jsonschema_ray.core.urls import resolve_url
+
+    assert resolve_url("urn:example:x/y", "//host/a") == "urn://host/a"
+    # empty segments survive under the authority-form merge (Go keeps
+    # them; a collapse would alias distinct registered URLs)
+    assert resolve_url("tag://h/a/b/c", "x//y") == "tag://h/a/b/x//y"
+    # opaque base: relative refs root from / (Go resolvePath("", ref))
+    assert resolve_url("tag:ex,2020:a/b/c", "x//y") == "tag:/x//y"
+    assert resolve_url("tag:ex,2020:a/b/c", "./x") == "tag:/x"
+
+
+def test_drift_baseline_bool_categorical_roundtrip(tmp_path):
+    """Boolean categorical keys survive the save/load round trip (bool
+    is an int subclass — a naive int keytype crashed int('True'))."""
+    from jsonschema_ray.stages.drift import load_baseline, save_baseline
+
+    profile = {"flag": {True: 5, False: 3}, "turn_idx": {0: 1}}
+    p = str(tmp_path / "b.json")
+    save_baseline(profile, p)
+    assert load_baseline(p) == profile
+
+
+def test_one_of_memo_released_after_batch():
+    """The oneOf branch-count memo must not retain the last batch beyond
+    the plan run — plans are cached process-wide."""
+    import json
+
+    from jsonschema_ray.core import parse
+    from jsonschema_ray.vector.plan import compile_plan
+
+    schema = parse(
+        json.dumps(
+            {
+                "type": "object",
+                "properties": {
+                    "v": {"oneOf": [{"minimum": 0}, {"maximum": -10}]}
+                },
+            }
+        ).encode()
+    )
+    plan = compile_plan(schema, pa.schema([("v", pa.int64())]))
+    t = pa.table({"v": pa.array([5, -20, -5], pa.int64())})
+    idx, kws, _m = plan.evaluate(t, mode="all")
+    assert [int(i) for i in idx] == [2]  # -5 matches neither branch
+    # after the second check consumed the memo, no batch is retained
+    import gc
+
+    closures = [
+        c.cell_contents
+        for chk in plan.checks
+        for c in (chk._mask.__closure__ or [])
+        if c.cell_contents is not None
+    ]
+    memos = [x for x in closures if isinstance(x, dict) and "b" in x]
+    assert memos == []  # memo cleared → no pinned batch
