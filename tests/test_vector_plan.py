@@ -235,8 +235,13 @@ try:
         "minimum": st.sampled_from([0, 3, 2.5, -1]),
         "maximum": st.sampled_from([4, 100, 7.5]),
         "multipleOf": st.sampled_from([1, 2, 0.5, 3]),
+        # extreme members exercise the per-value conversion fallback:
+        # 10**19 overflows int64, 1e300 fails int columns, 2**53+1 is
+        # past float64's exact-integer range
         "enum": st.lists(
-            st.sampled_from(["aa", "b", 1, 2, 2.5, True, None]),
+            st.sampled_from(
+                ["aa", "b", 1, 2, 2.5, True, None, 10**19, 1e300, 2**53 + 1]
+            ),
             min_size=1,
             max_size=4,
             unique_by=lambda v: (type(v).__name__, str(v)),
@@ -308,7 +313,13 @@ try:
                 "s1": st.one_of(st.none(), st.sampled_from(["aa", "b", "a1", ""])),
                 "s2": st.one_of(st.none(), st.sampled_from(["aa", "xb", "123"])),
                 "n1": st.one_of(st.none(), st.integers(-2, 8)),
-                "n2": st.one_of(st.none(), st.sampled_from([0.5, 2.0, 2.5, 7.5, -1.0])),
+                "n2": st.one_of(
+                    st.none(),
+                    st.sampled_from(
+                        # 2^53 floats probe the lossy-double enum hazard
+                        [0.5, 2.0, 2.5, 7.5, -1.0, 9007199254740992.0, 1e300]
+                    ),
+                ),
                 "l1": st.one_of(
                     st.none(),
                     st.lists(
