@@ -642,7 +642,12 @@ def transcript_violations_fused(
     violations are sparse relative to input rows (real corpora), loses
     when they are dense (the planted test data).  Measured A/B lives in
     BASELINE.md; output is row-for-row identical to the default plan
-    (tests/test_round3.py::test_fused_equals_default)."""
+    (tests/test_round3.py::test_fused_equals_default).
+
+    ``exclude_convs`` (internal, passed by the hot-split route) drops the
+    named conversations from the conv-check branch; on the slow-path
+    fallback the result is UNSORTED — the hot-split caller sorts the
+    final union once."""
     import numpy as np
     import pandas as pd  # noqa: F401  (bucket hash)
     import ray.data as rd
