@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources.transcripts import TOOLS, TRANSCRIPT_SCHEMA_JSON, transcripts_path
+from ..stages.bucketing import from_pandas_clean, pandas_map
 from ..stages.checks import (
     contiguity_violations,
     duplicate_key_violations,
@@ -288,7 +289,7 @@ def q_lineitem_pricing(sf_dir: str):
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = (
@@ -1614,7 +1615,7 @@ def q_priority_revenue(sf_dir: str):
         )
         return g.rename(columns={"sum": "_s", "size": "_n"})
 
-    agg = joined.map_batches(partial, batch_format="pandas")
+    agg = joined.map_batches(pandas_map(partial), batch_format="pandas")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = (
@@ -1701,7 +1702,7 @@ def q_top_events(sf_dir: str):
         df = df.sort_values(["value", "event_id"], ascending=[False, True], kind="stable")
         return df.groupby("event_type", sort=False).head(3)
 
-    partials = ds.map_batches(local_topk, batch_format="pandas")
+    partials = ds.map_batches(pandas_map(local_topk), batch_format="pandas")
 
     def final_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["value", "event_id"], ascending=[False, True], kind="stable")
@@ -1988,7 +1989,7 @@ def q_role_tool_matrix(sf_dir: str):
         )
         return g.dropna(subset=["role"])
 
-    narrow = ds.map_batches(partial, batch_format="pandas")
+    narrow = ds.map_batches(pandas_map(partial), batch_format="pandas")
 
     def pivot(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["role", "tool"], sort=False)["_n"].sum().reset_index()
@@ -2103,7 +2104,7 @@ def q_distinct_pairs(sf_dir: str):
     def local_unique(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    partials = ds.map_batches(local_unique, batch_format="pandas")
+    partials = ds.map_batches(pandas_map(local_unique), batch_format="pandas")
     return bucketed_map_groups(
         partials,
         ["role", "tool"],

@@ -36,6 +36,7 @@ from ..stages.checks import (
     referential_violations,
     ts_order_violations,
 )
+from ..stages.bucketing import from_pandas_clean
 from ..stages.validate import VectorValidator
 
 __all__ = [
@@ -1047,7 +1048,7 @@ def _direct_bucket_exchange(ds, make_parts, bucket_of, nparts, reduce_parts, bat
             # upstream pandas map stages yield pandas blocks — same guard
             # as bucketing._direct_map_groups, without it num_rows raises
             # inside the task instead of the graceful AllToAll fallback
-            block = pa.Table.from_pandas(block, preserve_index=False)
+            block = from_pandas_clean(block)
         viols: list[list[pa.Table]] = [[] for _ in range(nparts)]
         convs: list[list[pa.Table]] = [[] for _ in range(nparts)]
         vproto = cproto = None

@@ -80,6 +80,34 @@ DIRECT_EXCHANGE_MAX_BYTES = int(
 )
 
 
+def from_pandas_clean(df, preserve_index: bool = False) -> pa.Table:
+    """``pa.Table.from_pandas`` WITHOUT the pandas schema metadata.
+
+    The metadata makes ``pa.Schema`` unhashable (its dict participates in
+    the hash), which defeats Ray's block-schema deduplication and floods
+    every run with per-block "Failed to hash the schemas" warnings.
+    Every block OUR stages emit is metadata-free via this helper /
+    :func:`pandas_map`; the one remaining warning source is Ray's READ
+    operator unifying the schemas of pandas-written input parquet (the
+    files themselves carry the metadata — outside the engine's control,
+    silenced at the logging config for bench/pytest runs)."""
+    t = pa.Table.from_pandas(df, preserve_index=preserve_index)
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def pandas_map(fn):
+    """Wrap a pandas-in/pandas-out batch fn so its output re-enters Ray
+    as a METADATA-FREE Arrow block: Ray's own pandas→block conversion
+    attaches pandas metadata, which makes the schema unhashable and
+    floods logs with per-block schema-dedup warnings."""
+
+    def wrapped(df):
+        out = fn(df)
+        return from_pandas_clean(out) if isinstance(out, pd.DataFrame) else out
+
+    return wrapped
+
+
 def hash_normalized(arr: np.ndarray) -> np.ndarray:
     """``pd.util.hash_array`` with dtype-width normalization: int32(-1)
     and int64(-1) hash differently, so the two sides of any keyed exchange
@@ -170,7 +198,7 @@ def _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format):
     @ray.remote(num_returns=nb)
     def split_block(block):
         if isinstance(block, pd.DataFrame):
-            block = pa.Table.from_pandas(block, preserve_index=False)
+            block = from_pandas_clean(block)
         if block.num_rows == 0:
             e = block.slice(0, 0)
             return tuple(e for _ in range(nb))
@@ -194,7 +222,7 @@ def _direct_map_groups(ds, bucket_ids, fn, nb, out_schema, batch_format):
         g = pa.concat_tables(live, promote_options="permissive")
         res = fn(g if batch_format == "pyarrow" else g.to_pandas())
         if isinstance(res, pd.DataFrame):
-            res = pa.Table.from_pandas(res, preserve_index=False)
+            res = from_pandas_clean(res)
         if res.num_rows == 0:
             return empty_out
         if res.schema != out_schema:
@@ -290,10 +318,14 @@ def bucketed_map_groups(
         if out is not None:
             return out
 
+    # pandas results re-enter Ray as metadata-free Arrow (pandas_map's
+    # contract): Ray's own pandas→block conversion attaches metadata that
+    # makes the schema unhashable, and downstream schema unification then
+    # warns per block BEFORE the stamp stage could strip it
     if batch_format == "pyarrow":
-        apply = lambda g: fn(g.drop_columns([_BUCKET_COL]))  # noqa: E731
+        apply = pandas_map(lambda g: fn(g.drop_columns([_BUCKET_COL])))
     else:
-        apply = lambda g: fn(g.drop(columns=[_BUCKET_COL]))  # noqa: E731
+        apply = pandas_map(lambda g: fn(g.drop(columns=[_BUCKET_COL])))
 
     out = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -306,7 +338,12 @@ def bucketed_map_groups(
         def stamp(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return empty
-            return t if t.schema == out_schema else t.select(out_schema.names).cast(out_schema)
+            if t.schema != out_schema:
+                return t.select(out_schema.names).cast(out_schema)
+            # == ignores metadata: Ray's own pandas→block conversion under
+            # map_groups attaches pandas metadata, which makes the schema
+            # unhashable (see from_pandas_clean) — strip it here too
+            return t.replace_schema_metadata(None) if t.schema.metadata else t
 
         out = out.map_batches(stamp, batch_format="pyarrow")
     return out

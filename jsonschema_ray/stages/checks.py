@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..core.jsontypes import go_quote
+from .bucketing import from_pandas_clean
 
 __all__ = [
     "duplicate_key_violations",
@@ -615,7 +616,7 @@ def conv_checks_salted(ds, range_size: int = 4096, num_buckets: int | None = Non
         # which can only over-mark a range as affected (pass 2 is exact)
         g["min_ts"] = g["min_ts"].to_numpy("datetime64[ns]").view("int64")
         g["max_ts"] = g["max_ts"].to_numpy("datetime64[ns]").view("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     def stitch_bucket(df: pd.DataFrame) -> pa.Table:
         merged = (
@@ -758,13 +759,13 @@ def max_conversation_size(ds) -> int:
     merged in hash buckets — only (conv_id, partial count) rows shuffle."""
     import pandas as pd
 
-    from .bucketing import bucketed_map_groups
+    from .bucketing import bucketed_map_groups, pandas_map
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("conv_id", sort=False).size().reset_index(name="_n")
 
     partials = ds.select_columns(["conv_id"]).map_batches(
-        partial, batch_format="pandas"
+        pandas_map(partial), batch_format="pandas"
     )
     totals = bucketed_map_groups(
         partials,

@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .bucketing import from_pandas_clean
 from .tokhash import wraparound_ok
 
 __all__ = [
@@ -102,7 +103,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", key: str = "
             .agg(["min", "size"])
             .reset_index()
         )
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             g.rename(columns={"min": "_min_id", "size": "_cnt"}), preserve_index=False
         )
 

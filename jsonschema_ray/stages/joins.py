@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .bucketing import hash_normalized, pick_num_buckets
+from .bucketing import hash_normalized, pandas_map, pick_num_buckets
 
 
 def _type_of_map(*datasets) -> dict[str, pa.DataType]:
@@ -137,7 +137,7 @@ def asof_join(
 
     return (
         both.groupby("_b")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(pandas_map(join_bucket), batch_format="pandas")
         .map_batches(recast, batch_format="pyarrow")
     )
 
@@ -357,7 +357,9 @@ def detect_hot_keys(ds, on: str, threshold: int = 100_000) -> set:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(on, sort=False).size().reset_index(name="_n")
 
-    partials = ds.select_columns([on]).map_batches(partial, batch_format="pandas")
+    partials = ds.select_columns([on]).map_batches(
+        pandas_map(partial), batch_format="pandas"
+    )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(on, sort=False)["_n"].sum().reset_index()

@@ -49,7 +49,7 @@ def grouped_head(ds, key_cols, order_cols, k: int):
     are deterministic and match a SQL ``ROW_NUMBER() OVER (PARTITION BY
     … ORDER BY …) <= k`` oracle exactly.
     """
-    from .bucketing import bucketed_map_groups
+    from .bucketing import bucketed_map_groups, pandas_map
 
     keys, orders = list(key_cols), list(order_cols)
 
@@ -60,7 +60,7 @@ def grouped_head(ds, key_cols, order_cols, k: int):
     # combiner: a batch's global-first-k rows are necessarily inside its
     # local-first-k rows, so pre-pruning is lossless and bounds the
     # exchange at k rows per (group, batch)
-    pruned = ds.map_batches(head, batch_format="pandas")
+    pruned = ds.map_batches(pandas_map(head), batch_format="pandas")
     return bucketed_map_groups(pruned, keys, head, out_schema=_input_schema(ds))
 
 
@@ -157,7 +157,7 @@ def _group_counts(ds, group_col: str) -> pd.Series:
 def _quota_head(ds, group_col: str, quota: dict, id_col: str):
     """Keep each group's first ``quota[g]`` rows under the deterministic
     hash order (local prune → one group-keyed exchange)."""
-    from .bucketing import bucketed_map_groups
+    from .bucketing import bucketed_map_groups, pandas_map
 
     # a NaN quota key (the null group) cannot be looked up via .map —
     # NaN != NaN — so split it out and apply it through a notna mask
@@ -183,7 +183,7 @@ def _quota_head(ds, group_col: str, quota: dict, id_col: str):
         )
         return df[keep].drop(columns=["_rank"])
 
-    pruned = ds.map_batches(head, batch_format="pandas")
+    pruned = ds.map_batches(pandas_map(head), batch_format="pandas")
     return bucketed_map_groups(
         pruned, [group_col], head, out_schema=_input_schema(ds)
     )

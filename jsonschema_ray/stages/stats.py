@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .bucketing import from_pandas_clean
 from .sketches import HLL, TDigest
 
 __all__ = [
@@ -44,7 +45,7 @@ def grouped_distinct_exact(ds, key_col: str, value_col: str):
 
     def batch_uniques(t: pa.Table) -> pa.Table:
         df = t.select([key_col, value_col]).to_pandas()
-        return pa.Table.from_pandas(
+        return from_pandas_clean(
             df.dropna().drop_duplicates([key_col, value_col]), preserve_index=False
         )
 

@@ -49,7 +49,7 @@ def tfidf_top_terms(ds, k: int = 5, n_docs: int | None = None, text_col="text", 
     rounded score).  ``n_docs`` is the corpus size for the idf
     denominator; pass it when known (a parquet count is metadata-only),
     else it is taken from ``ds.count()``."""
-    from .bucketing import bucketed_map_groups, col_np, group_bounds
+    from .bucketing import bucketed_map_groups, col_np, group_bounds, pandas_map
     from .tokhash import batch_token_hashes, spans_to_strings, wraparound_ok
 
     if n_docs is None:
@@ -123,7 +123,7 @@ def tfidf_top_terms(ds, k: int = 5, n_docs: int | None = None, text_col="text", 
         df = df[keep]
         return df[["doc_id", "term", "tf", "df", "tfidf"]]
 
-    pruned = with_df.map_batches(topk, batch_format="pandas")
+    pruned = with_df.map_batches(pandas_map(topk), batch_format="pandas")
     return bucketed_map_groups(pruned, ["doc_id"], topk, out_schema=_SCH_OUT)
 
 

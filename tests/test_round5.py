@@ -1742,3 +1742,20 @@ def test_one_of_memo_released_after_batch():
     ]
     memos = [x for x in closures if isinstance(x, dict) and "b" in x]
     assert memos == []  # memo cleared → no pinned batch
+
+
+def test_from_pandas_clean_schema_is_hashable():
+    """pa.Table.from_pandas attaches pandas metadata that makes the
+    schema UNHASHABLE (hash(schema) raises on the metadata dict), which
+    defeats Ray's block-schema deduplication and floods logs with
+    'Failed to hash the schemas' warnings — the clean helper strips it."""
+    from jsonschema_ray.stages.bucketing import from_pandas_clean
+
+    df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    raw = pa.Table.from_pandas(df, preserve_index=False)
+    with pytest.raises(TypeError):
+        hash(raw.schema)
+    clean = from_pandas_clean(df)
+    assert hash(clean.schema) is not None  # hashable
+    assert clean.schema.metadata is None
+    assert clean.to_pydict() == raw.to_pydict()  # data identical
